@@ -1,0 +1,68 @@
+"""Pipeline configuration — the analogue of the reference's tuning surface.
+
+The reference exposes ``SICKSettings(objectIndexBucketCount=128,
+minObjectKeysBeforeIndexing=2)`` (json-sick-scala
+``izumi/sick/eba/SICKSettings.scala:3-15``) and per-writer
+``SICKWriterParameters`` (``model/SICKWriterParameters.scala:3-13``). Our
+engine's equivalent knob set covers shingling, MinHash, LSH banding, skew
+salting, clustering and the substring stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Knobs for the 3-stage dedup pipeline. Defaults are the "reference
+    config" the recall target is measured at (SURVEY.md §7.0)."""
+
+    # --- shingling / MinHash (stage 2a) ---
+    shingle_k: int = 5          # word shingle width
+    num_perm: int = 128         # MinHash permutations
+    seed: int = 0               # hash seed for everything downstream
+    # --- LSH banding (stage 2b) ---
+    bands: int = 16             # bands × rows_per_band must equal num_perm
+    rows_per_band: int = 8
+    # skew: buckets larger than this get salted into sub-buckets
+    # (north_rule: explicit salted-key repartitioning for boilerplate skew)
+    hot_bucket_threshold: int = 64
+    salt_fanout: int = 16       # sub-buckets per hot bucket
+    max_pairs_per_bucket: int = 4096  # hard cap, truncation is logged
+    # --- candidate verification (stage 2b→2c) ---
+    verify: str = "signature"   # "signature" | "none"
+    verify_threshold: float = 0.72  # est. Jaccard (matching sig fraction)
+    # --- clustering (stage 2c) ---
+    uf_shards: int = 8          # union-find actor shards
+    driver_uf_max_edges: int = 2_000_000  # below this, fold edges on driver
+    # --- substring dedup (stage 3) ---
+    min_span: int = 256         # bytes; minimal duplicated span to report
+    span_stride: int = 32       # fingerprint stride for the global pass
+    suffix_partitions: int = 0  # 0 = let Ray pick block partitioning
+    # --- execution ---
+    batch_size: int = 2048      # docs per batch for minhash actors
+    minhash_concurrency: int = 8  # actor pool size for the MinHash stage
+    num_partitions: int = 32    # hash-join / shuffle partition count
+
+    def __post_init__(self):
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands({self.bands}) * rows_per_band({self.rows_per_band}) "
+                f"must equal num_perm({self.num_perm})"
+            )
+
+
+DEFAULT_CONFIG = DedupConfig()
+
+
+@dataclass(frozen=True)
+class AnnConfig:
+    """Approximate-nearest-neighbor stage knobs."""
+
+    k: int = 10
+    metric: str = "cosine"
+    # LSH variant: random-hyperplane signatures
+    n_planes: int = 16
+    n_tables: int = 8
+    seed: int = 0

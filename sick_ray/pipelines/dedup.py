@@ -1,0 +1,210 @@
+"""End-to-end 3-stage dedup pipeline (SURVEY.md §3.4).
+
+Data flow (no wide column ever enters a shuffle):
+
+  read_parquet(webtext)
+    → map_batches(extract)                 # html/text → canonical text
+    → map_batches(add_fingerprints)        # + fp64 (xxh64), n_bytes
+    → map_batches(MinHasher actor pool)    # + sig(128×u32) + band_hash(16×u64),
+                                           #   text/html DROPPED here
+  = meta (narrow derived table; the analogue of sick's per-type value
+    tables) — checkpointed/materialized once, consumed by:
+    (a) fingerprints output (url, fp64, n_bytes)
+    (b) exact dedup: groupby(fp64) keep-first  → canonical
+        → LSH banding → salted bucket groupby → star edges
+        → signature verify → connected components → labels
+    (c) cluster attach-back on fp64 + canonical flagging
+
+Exact dups are minhashed too (vectorized, cheap) precisely so the full-text
+column never needs to be shuffled — the only all-to-all exchanges move
+~700 B/doc of derived state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import pyarrow as pa
+
+from sick_ray.config import DedupConfig
+from sick_ray.extract import extract_batch
+from sick_ray.stages.components import connected_components
+from sick_ray.stages.exact import add_fingerprints, exact_dedup
+from sick_ray.stages.lsh import (
+    build_sig_lookup,
+    candidate_edges,
+    distinct_edges,
+    verify_edges_broadcast,
+    verify_edges_join,
+)
+from sick_ray.stages.minhash import MinHasher
+from sick_ray.state.manifest import StageRunner, stage_fingerprint
+
+# above this many canonical docs the verify stage switches from a broadcast
+# signature table to a two-sided hash join
+BROADCAST_SIG_LIMIT = 300_000
+
+
+@dataclasses.dataclass
+class DedupResult:
+    fingerprints: "object"   # Dataset (url, fp64, n_bytes)
+    clusters: "object"       # Dataset (url, cluster_id, is_canonical)
+    labels: pa.Table         # (fp64, cluster_id) for non-singleton nodes
+    n_docs: int
+    n_canonical: int
+    n_edges: int
+    runner_log: list
+
+
+def _flag_canonical(group: pa.Table) -> pa.Table:
+    """Per-cluster: mark the min (warc_ts, url) member canonical."""
+    n = group.num_rows
+    flags = np.zeros(n, dtype=bool)
+    if n == 1:
+        flags[0] = True
+    else:
+        ts = group.column("warc_ts").to_numpy(zero_copy_only=False)
+        url = np.asarray(group.column("url").to_pylist())
+        flags[int(np.lexsort((url, ts))[0])] = True
+    return group.append_column("is_canonical", pa.array(flags))
+
+
+def run_dedup(
+    input_ds,
+    cfg: DedupConfig | None = None,
+    out_dir: str | None = None,
+) -> DedupResult:
+    """``input_ds``: Dataset or parquet path with the webtext schema
+    (url, warc_ts, html, text, lang). ``out_dir``: enable checkpoint
+    manifests + resume under this directory."""
+    import ray
+    import ray.data as rd
+
+    cfg = cfg or DedupConfig()
+    if isinstance(input_ds, str):
+        input_path = input_ds
+        input_ds = rd.read_parquet(input_ds)
+    else:
+        input_path = f"<dataset:{id(input_ds)}>"
+    runner = StageRunner(out_dir)
+    cfg_fp = stage_fingerprint(dataclasses.asdict(cfg), input_path)
+
+    def compute_meta():
+        ds = input_ds.map_batches(extract_batch, batch_format="pyarrow")
+        ds = ds.map_batches(add_fingerprints, batch_format="pyarrow")
+        return ds.map_batches(
+            MinHasher,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            # autoscaling pool (min 1): never deadlocks on a small CPU count,
+            # scales to the configured pool size when CPUs are available
+            concurrency=(1, cfg.minhash_concurrency),
+        )
+
+    meta = runner.run("meta", cfg_fp, compute_meta)
+    if out_dir is None:
+        meta = meta.materialize()
+
+    fingerprints = meta.select_columns(["url", "fp64", "n_bytes"])
+    n_docs = meta.count()
+
+    canonical = runner.run("canonical", cfg_fp, lambda: exact_dedup(meta, cfg))
+    if out_dir is None:
+        canonical = canonical.materialize()
+    n_canonical = canonical.count()
+
+    def compute_edges():
+        sig_ds = canonical.select_columns(["fp64", "sig", "band_hash"])
+        edges = candidate_edges(sig_ds, cfg)
+        edges = distinct_edges(edges)
+        if cfg.verify == "signature":
+            if n_canonical <= BROADCAST_SIG_LIMIT:
+                sig_table = pa.concat_tables(
+                    [
+                        b
+                        for b in canonical.select_columns(["fp64", "sig"]).iter_batches(
+                            batch_size=65536, batch_format="pyarrow"
+                        )
+                    ]
+                )
+                ref = ray.put(build_sig_lookup(sig_table, cfg.num_perm))
+                edges = verify_edges_broadcast(edges, ref, cfg.verify_threshold)
+            else:
+                edges = verify_edges_join(
+                    edges,
+                    canonical.select_columns(["fp64", "sig"]),
+                    cfg.verify_threshold,
+                    cfg.num_partitions,
+                )
+        return edges
+
+    edges = runner.run("edges", cfg_fp, compute_edges)
+    if out_dir is None:
+        edges = edges.materialize()
+    n_edges = edges.count()
+
+    labels = connected_components(edges, cfg)
+
+    # ---- attach back: every url gets cluster_id = label(fp64) or own fp ----
+    labels_ref = ray.put(
+        (
+            labels.column("fp64").to_numpy(zero_copy_only=False),
+            labels.column("cluster_id").to_numpy(zero_copy_only=False),
+        )
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        nodes, roots = ray.get(labels_ref)
+        order = np.argsort(nodes)
+        nodes_s, roots_s = nodes[order], roots[order]
+        fp = batch.column("fp64").to_numpy(zero_copy_only=False)
+        cid = fp.copy()
+        if len(nodes_s):
+            pos = np.searchsorted(nodes_s, fp)
+            pos = np.clip(pos, 0, len(nodes_s) - 1)
+            hit = nodes_s[pos] == fp
+            cid[hit] = roots_s[pos[hit]]
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+                "cluster_id": pa.array(cid, type=pa.int64()),
+            }
+        )
+
+    assigned = meta.select_columns(["url", "warc_ts", "fp64"]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+
+    def _to_uint64(col):
+        def f(batch: pa.Table) -> pa.Table:
+            vals = batch.column(col).to_numpy(zero_copy_only=False).view(np.uint64)
+            return batch.set_column(
+                batch.schema.get_field_index(col), col, pa.array(vals, type=pa.uint64())
+            )
+
+        return f
+
+    def compute_clusters():
+        flagged = assigned.groupby("cluster_id").map_groups(
+            _flag_canonical, batch_format="pyarrow"
+        )
+        out = flagged.select_columns(["url", "cluster_id", "is_canonical"])
+        # shuffles are done — re-interpret the int64 bit-views as uint64 for
+        # the published schema (FIXTURES.md §3)
+        return out.map_batches(_to_uint64("cluster_id"), batch_format="pyarrow")
+
+    clusters = runner.run("clusters", cfg_fp, compute_clusters)
+    fingerprints = fingerprints.map_batches(_to_uint64("fp64"), batch_format="pyarrow")
+
+    return DedupResult(
+        fingerprints=fingerprints,
+        clusters=clusters,
+        labels=labels,
+        n_docs=n_docs,
+        n_canonical=n_canonical,
+        n_edges=n_edges,
+        runner_log=runner.log,
+    )

@@ -1,0 +1,72 @@
+"""Stage 1 — exact dedup via content fingerprints.
+
+The distribution-safe re-architecture of the reference's hash-consing: sick
+interns every value through a driver-local reverse map ``value -> index``
+(json-sick-scala ``izumi/sick/eba/builder/DeduplicatingRefTableBuilder.scala:17-26``,
+C# ``SickSharp/Encoder/Bijection.cs:133-146``). A shared mutable map cannot
+scale across nodes, so we content-address instead: ``fp64 =
+xxh64(text_bytes)`` computed in a zero-copy Arrow ``map_batches``, then a
+hash shuffle (``groupby('fp64')``) with a commutative keep-first reduction
+(min ``(warc_ts, url)``) — identical results at any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sick_ray.xxh import xxh64_strings
+
+FP_SEED = 0
+
+
+def add_fingerprints(batch: pa.Table) -> pa.Table:
+    """map_batches fn: append ``fp64:uint64`` (xxh64 of utf-8 text bytes)
+    and ``n_bytes:int64`` columns. Zero-copy read of the Arrow buffers."""
+    text = batch.column("text")
+    fp = xxh64_strings(text, seed=FP_SEED)
+    nb = pc.binary_length(text.cast(pa.large_binary()))  # bytes, not codepoints
+    # int64 bit-view: Ray Data shuffle keys must avoid uint64 (values above
+    # int64 max fall back to python objects inside Ray's aggregate); final
+    # outputs re-interpret back to uint64
+    batch = batch.append_column("fp64", pa.array(fp.view(np.int64), type=pa.int64()))
+    batch = batch.append_column("n_bytes", nb.cast(pa.int64()))
+    return batch
+
+
+def _keep_first(group: pa.Table) -> pa.Table:
+    """Per-fp64 group reduction: keep the canonical row = min (warc_ts, url).
+
+    Commutative + associative with explicit tie-break, so Ray's unordered
+    block execution cannot change the result (SURVEY.md §4.2 "ordering").
+    """
+    if group.num_rows == 1:
+        return group
+    ts = group.column("warc_ts").to_numpy(zero_copy_only=False)
+    url = np.asarray(group.column("url").to_pylist())
+    order = np.lexsort((url, ts))
+    return group.take([int(order[0])])
+
+
+def exact_dedup(docs, cfg=None):
+    """``docs`` Dataset (url, warc_ts, text, lang, fp64, n_bytes) →
+    canonical Dataset with exactly one row per distinct fp64."""
+    return docs.groupby("fp64").map_groups(_keep_first, batch_format="pyarrow")
+
+
+def partial_distinct(batch: pa.Table) -> pa.Table:
+    """Pre-shuffle combiner: drop duplicate fp64 rows *within a batch*
+    (keeping the min (warc_ts, url) row) before the wide groupby — the
+    partial-aggregation pattern that keeps the shuffle small when exact-dup
+    groups co-occur inside a block."""
+    fp = batch.column("fp64").to_numpy(zero_copy_only=False)
+    if len(np.unique(fp)) == batch.num_rows:
+        return batch
+    ts = batch.column("warc_ts").to_numpy(zero_copy_only=False)
+    url = np.asarray(batch.column("url").to_pylist())
+    order = np.lexsort((url, ts, fp))
+    fps = fp[order]
+    first = np.ones(len(fps), dtype=bool)
+    first[1:] = fps[1:] != fps[:-1]
+    return batch.take(pa.array(order[first]))

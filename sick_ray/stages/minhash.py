@@ -1,0 +1,206 @@
+"""Stage 2a — MinHash signatures as a stateful actor-pool map_batches.
+
+The reference's load-once shared state is its page cache
+(``SickSharp/Format/IO/PageCachedFile.cs:20-296``): built once, reused by
+every lookup. Our analogue is a MinHash actor: the permutation coefficients
+and compiled tokenizer are built once per actor in ``__init__`` and reused
+across batches (``ds.map_batches(MinHasher, concurrency=N, batch_size=B)``).
+
+Hash family: multiply-shift ``h_i(x) = ((a_i * x + b_i) mod 2^64) >> 32``
+with odd random ``a_i`` (Dietzfelbinger et al., universal multiply-shift
+hashing) — exact uint64 wraparound arithmetic, fully NumPy-vectorizable,
+no Mersenne-prime modular reduction needed. Signatures are 128 x uint32.
+
+Per-batch work is vectorized end to end: one regex pass per doc for tokens
+(C-speed), one packed xxh64 batch call for all token hashes, a sliding-window
+polynomial fold for shingle hashes, and ``np.minimum.reduceat`` over doc
+segments for the signature matrix (chunked over permutations to bound peak
+memory). A ``for row in batch`` loop never touches shingles.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from sick_ray.config import DedupConfig
+from sick_ray.xxh import xxh64_batch
+
+U64 = np.uint64
+_MIX1 = U64(0xFF51AFD7ED558CCD)
+_MIX2 = U64(0xC4CEB9FE1A85EC53)
+_POLY = U64(0x9E3779B185EBCA87)  # odd
+_EMPTY_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche (public domain finalizer)."""
+    x = x ^ (x >> U64(33))
+    x = x * _MIX1
+    x = x ^ (x >> U64(33))
+    x = x * _MIX2
+    return x ^ (x >> U64(33))
+
+
+_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+
+def tokenize_hashes(texts: list[str], seed: int = 0):
+    """All docs' token hashes packed flat. Returns (token_hashes uint64,
+    doc_offsets int64[n+1])."""
+    tok_lists = [_TOKEN_RE.findall(t.lower()) if t else [] for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    payload = "\x00".join(w for toks in tok_lists for w in toks).encode("utf-8")
+    # re-derive per-token byte offsets without per-token python encode calls
+    blens = np.fromiter(
+        (len(w.encode("utf-8")) for toks in tok_lists for w in toks),
+        dtype=np.int64, count=total,
+    )
+    starts = np.zeros(total, dtype=np.int64)
+    np.cumsum(blens[:-1] + 1, out=starts[1:])
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    th = xxh64_batch(buf, starts, blens, seed)
+    return th, offsets
+
+
+def shingle_hashes(token_hashes: np.ndarray, doc_offsets: np.ndarray, k: int):
+    """Per-doc k-shingle hashes from the flat token-hash array.
+
+    Returns (shingle_hashes uint64 flat, shingle_offsets int64[n+1]).
+    Docs with 0 < n_tok < k get ONE shingle over all their tokens (matches
+    the oracle's semantics in synth.shingle_set); empty docs get none.
+    """
+    n_docs = len(doc_offsets) - 1
+    counts = doc_offsets[1:] - doc_offsets[:-1]
+    T = len(token_hashes)
+    if T == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_docs + 1, dtype=np.int64)
+    # windows over the concatenated array; mask cross-doc windows after
+    if T >= k:
+        w = np.lib.stride_tricks.sliding_window_view(token_hashes, k)  # (T-k+1, k)
+        acc = w[:, 0].copy()
+        for j in range(1, k):
+            acc = acc * _POLY + w[:, j]
+        acc = _mix64(acc)
+    else:
+        acc = np.empty(0, dtype=np.uint64)
+    doc_of = np.repeat(np.arange(n_docs), counts)  # doc id per token position
+    out_counts = np.where(counts >= k, np.maximum(counts - k + 1, 0), np.minimum(counts, 1))
+    out_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=out_offsets[1:])
+    out = np.empty(int(out_offsets[-1]), dtype=np.uint64)
+    # full windows: window at flat pos i belongs to doc_of[i] iff doc_of[i]==doc_of[i+k-1]
+    if T >= k:
+        valid = doc_of[: T - k + 1] == doc_of[k - 1 :]
+        vpos = np.flatnonzero(valid)
+        # windows are emitted in flat order == grouped by doc already
+        big = counts >= k
+        out_idx = np.concatenate(
+            [np.arange(out_offsets[d], out_offsets[d + 1]) for d in np.flatnonzero(big)]
+        ) if big.any() else np.empty(0, dtype=np.int64)
+        out[out_idx] = acc[vpos]
+    # short docs: single shingle = fold of all tokens (vectorized over docs)
+    short = np.flatnonzero((counts > 0) & (counts < k))
+    if len(short) > 0:
+        acc_s = token_hashes[doc_offsets[short]].copy()
+        for j in range(1, k - 1):
+            m = counts[short] > j
+            idx = short[m]
+            acc_s[m] = acc_s[m] * _POLY + token_hashes[doc_offsets[idx] + j]
+        out[out_offsets[short]] = _mix64(acc_s)
+    return out, out_offsets
+
+
+def minhash_signatures(
+    sh: np.ndarray, sh_offsets: np.ndarray, a: np.ndarray, b: np.ndarray,
+    perm_chunk: int = 16,
+) -> np.ndarray:
+    """(n_docs, num_perm) uint32 signature matrix via chunked reduceat."""
+    n_docs = len(sh_offsets) - 1
+    num_perm = len(a)
+    sig = np.full((n_docs, num_perm), _EMPTY_SENTINEL, dtype=np.uint32)
+    if len(sh) == 0:
+        return sig
+    counts = sh_offsets[1:] - sh_offsets[:-1]
+    nonempty = np.flatnonzero(counts > 0)
+    starts = sh_offsets[nonempty]
+    for c0 in range(0, num_perm, perm_chunk):
+        c1 = min(c0 + perm_chunk, num_perm)
+        # (T, chunk) permuted values, top 32 bits
+        pv = (sh[:, None] * a[None, c0:c1] + b[None, c0:c1]) >> U64(32)
+        mins = np.minimum.reduceat(pv, starts, axis=0)
+        sig[nonempty, c0:c1] = mins.astype(np.uint32)
+    return sig
+
+
+def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n_docs, bands) uint64: polynomial fold + avalanche per band."""
+    n = sig.shape[0]
+    s = sig.reshape(n, bands, rows).astype(np.uint64)
+    acc = s[:, :, 0].copy()
+    for j in range(1, rows):
+        acc = acc * _POLY + s[:, :, j]
+    return _mix64(acc)
+
+
+class MinHasher:
+    """Actor-pool callable: text → MinHash signature + per-band LSH hashes.
+
+    State built once per actor (__init__): permutation coefficients and the
+    compiled tokenizer. Use as
+    ``ds.map_batches(MinHasher, fn_constructor_args=(cfg,),
+    batch_format="pyarrow", batch_size=cfg.batch_size,
+    concurrency=cfg.minhash_concurrency)``.
+    """
+
+    def __init__(self, cfg: DedupConfig | None = None):
+        cfg = cfg or DedupConfig()
+        self.cfg = cfg
+        rng = np.random.default_rng(cfg.seed + 0x5EED5EED)
+        self.a = (rng.integers(0, 1 << 63, size=cfg.num_perm, dtype=np.uint64) << U64(1)) | U64(1)
+        self.b = rng.integers(0, 1 << 63, size=cfg.num_perm, dtype=np.uint64)
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        th, toff = tokenize_hashes(texts, seed=self.cfg.seed)
+        sh, soff = shingle_hashes(th, toff, self.cfg.shingle_k)
+        return minhash_signatures(sh, soff, self.a, self.b)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Append sig + band_hash, drop the wide text/html columns — the
+        output is the narrow derived table that feeds every shuffle."""
+        texts = batch.column("text").to_pylist()
+        sig = self.signatures(texts)
+        bh = band_hashes(sig, self.cfg.bands, self.cfg.rows_per_band)
+        out = batch.drop_columns(
+            [c for c in ("text", "html") if c in batch.column_names]
+        )
+        out = out.append_column(
+            "sig",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1), type=pa.uint32()), self.cfg.num_perm
+            ),
+        )
+        out = out.append_column(
+            "band_hash",
+            pa.FixedSizeListArray.from_arrays(
+                # int64 bit-view: shuffle-key columns stay int64 (see exact.py)
+                pa.array(bh.reshape(-1).view(np.int64), type=pa.int64()),
+                self.cfg.bands,
+            ),
+        )
+        return out
+
+
+def fsl_to_numpy(col, width: int) -> np.ndarray:
+    """FixedSizeList column → (n, width) ndarray, zero-copy via flatten."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), width)

@@ -1,0 +1,121 @@
+"""End-to-end dedup pipeline: exact groups, near-dup recall, invariants."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+
+def _cluster_map(clusters_ds):
+    tbl = clusters_ds.to_pandas()
+    return dict(zip(tbl["url"], tbl["cluster_id"])), tbl
+
+
+@pytest.fixture(scope="module")
+def result(ray_session, small_corpus):
+    import ray.data as rd
+
+    from sick_ray.config import DedupConfig
+    from sick_ray.pipelines.dedup import run_dedup
+
+    ds = rd.read_parquet(os.path.join(small_corpus, "webtext.parquet"))
+    cfg = DedupConfig(minhash_concurrency=2, uf_shards=2)
+    return run_dedup(ds, cfg), small_corpus
+
+
+def test_counts(result):
+    res, d = result
+    web = pq.read_table(os.path.join(d, "webtext.parquet"))
+    assert res.n_docs == web.num_rows
+    assert res.n_canonical < res.n_docs  # exact dups collapsed
+    assert res.clusters.count() == res.n_docs
+
+
+def test_exact_groups_collapse(result):
+    res, d = result
+    cmap, _ = _cluster_map(res.clusters)
+    te = pq.read_table(os.path.join(d, "truth_exact.parquet")).to_pandas()
+    for _, grp in te.groupby("fp_group"):
+        cids = {cmap[u] for u in grp["url"]}
+        assert len(cids) == 1, f"exact-dup group split into {len(cids)} clusters"
+
+
+def test_near_dup_recall(result):
+    res, d = result
+    cmap, _ = _cluster_map(res.clusters)
+    tp = pq.read_table(os.path.join(d, "truth_pairs.parquet")).to_pandas()
+    strong = tp[tp["jaccard"] >= 0.9]
+    hit = sum(cmap[r.src_url] == cmap[r.dst_url] for r in strong.itertuples())
+    recall = hit / len(strong)
+    assert recall >= 0.99, f"recall {recall:.4f} on {len(strong)} J>=0.9 pairs"
+    # weaker bands: just report sane behavior (banding prob drops with J)
+    mid = tp[(tp["jaccard"] >= 0.8) & (tp["jaccard"] < 0.9)]
+    if len(mid):
+        mid_recall = sum(
+            cmap[r.src_url] == cmap[r.dst_url] for r in mid.itertuples()
+        ) / len(mid)
+        assert mid_recall >= 0.7
+
+
+def test_precision_sample(result):
+    """Unrelated docs must not merge: sample random url pairs from different
+    planted kinds and check they stay apart unless truly similar."""
+    from sick_ray.synth import jaccard, shingle_set
+
+    res, d = result
+    cmap, tbl = _cluster_map(res.clusters)
+    web = pq.read_table(os.path.join(d, "webtext.parquet")).to_pandas()
+    text_of = dict(zip(web["url"], web["text"]))
+    rng = np.random.default_rng(3)
+    urls = list(cmap)
+    wrong = 0
+    checked = 0
+    for _ in range(300):
+        a, b = rng.choice(len(urls), size=2, replace=False)
+        ua, ub = urls[a], urls[b]
+        if cmap[ua] == cmap[ub]:
+            ta, tb = text_of.get(ua) or "", text_of.get(ub) or ""
+            if jaccard(shingle_set(ta), shingle_set(tb)) < 0.5:
+                wrong += 1
+        checked += 1
+    assert wrong == 0, f"{wrong}/{checked} dissimilar sampled pairs merged"
+
+
+def test_one_canonical_per_cluster(result):
+    res, _ = result
+    _, tbl = _cluster_map(res.clusters)
+    per = tbl.groupby("cluster_id")["is_canonical"].sum()
+    assert (per == 1).all()
+
+
+def test_fingerprints_cover_all_urls(result):
+    res, d = result
+    fp = res.fingerprints.to_pandas()
+    web = pq.read_table(os.path.join(d, "webtext.parquet"))
+    assert set(fp["url"]) == set(web.column("url").to_pylist())
+    assert fp["fp64"].nunique() == res.n_canonical
+
+
+def test_text_invariant_byte_identical(ray_session, small_corpus):
+    """extract stage must pass non-null text through byte-identically."""
+    import ray.data as rd
+
+    from sick_ray.extract import extract_batch
+
+    web = pq.read_table(os.path.join(small_corpus, "webtext.parquet"))
+    out = (
+        rd.read_parquet(os.path.join(small_corpus, "webtext.parquet"))
+        .map_batches(extract_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    inp = web.to_pandas()
+    m = inp.merge(out, on="url", suffixes=("_in", "_out"))
+    nonnull = m[m["text_in"].notna()]
+    ident = (
+        nonnull["text_in"].str.encode("utf-8") == nonnull["text_out"].str.encode("utf-8")
+    )
+    assert ident.all()
+    # null-text rows got a deterministic extraction
+    nulls = m[m["text_in"].isna()]
+    assert nulls["text_out"].notna().all()
