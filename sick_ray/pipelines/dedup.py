@@ -57,17 +57,21 @@ class DedupResult:
     runner_log: list
 
 
-def _flag_canonical(group: pa.Table) -> pa.Table:
-    """Per-cluster: mark the min (warc_ts, url) member canonical."""
-    n = group.num_rows
+def _flag_canonical_partition(part: pa.Table) -> pa.Table:
+    """Vectorized over all clusters of a hash partition: mark the min
+    (warc_ts, url) member of each cluster canonical."""
+    from sick_ray.shuffle import first_mask, sort_index, url_sort_key
+
+    n = part.num_rows
+    if n == 0:
+        return part.append_column("is_canonical", pa.array([], type=pa.bool_()))
+    cid = part.column("cluster_id").to_numpy(zero_copy_only=False)
+    ts = part.column("warc_ts").to_numpy(zero_copy_only=False)
+    url = url_sort_key(part.column("url"))
+    order = sort_index(cid, ts, url)
     flags = np.zeros(n, dtype=bool)
-    if n == 1:
-        flags[0] = True
-    else:
-        ts = group.column("warc_ts").to_numpy(zero_copy_only=False)
-        url = np.asarray(group.column("url").to_pylist())
-        flags[int(np.lexsort((url, ts))[0])] = True
-    return group.append_column("is_canonical", pa.array(flags))
+    flags[order[first_mask(cid[order])]] = True
+    return part.append_column("is_canonical", pa.array(flags))
 
 
 def run_dedup(
@@ -118,7 +122,7 @@ def run_dedup(
     def compute_edges():
         sig_ds = canonical.select_columns(["fp64", "sig", "band_hash"])
         edges = candidate_edges(sig_ds, cfg)
-        edges = distinct_edges(edges)
+        edges = distinct_edges(edges, cfg)
         if cfg.verify == "signature":
             if n_canonical <= BROADCAST_SIG_LIMIT:
                 sig_table = pa.concat_tables(
@@ -188,8 +192,13 @@ def run_dedup(
         return f
 
     def compute_clusters():
-        flagged = assigned.groupby("cluster_id").map_groups(
-            _flag_canonical, batch_format="pyarrow"
+        from sick_ray.shuffle import grouped_apply
+
+        flagged = grouped_apply(
+            assigned,
+            ["cluster_id"],
+            _flag_canonical_partition,
+            num_partitions=cfg.num_partitions,
         )
         out = flagged.select_columns(["url", "cluster_id", "is_canonical"])
         # shuffles are done — re-interpret the int64 bit-views as uint64 for

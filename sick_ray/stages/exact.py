@@ -35,24 +35,41 @@ def add_fingerprints(batch: pa.Table) -> pa.Table:
     return batch
 
 
-def _keep_first(group: pa.Table) -> pa.Table:
-    """Per-fp64 group reduction: keep the canonical row = min (warc_ts, url).
+def _keep_first_partition(part: pa.Table) -> pa.Table:
+    """Vectorized keep-first over ALL fp64 groups in one hash partition:
+    canonical row per fp64 = min (warc_ts, url). Commutative + associative
+    with explicit tie-break, so Ray's unordered block execution cannot
+    change the result (SURVEY.md §4.2 "ordering")."""
+    from sick_ray.shuffle import first_mask, sort_index, url_sort_key
 
-    Commutative + associative with explicit tie-break, so Ray's unordered
-    block execution cannot change the result (SURVEY.md §4.2 "ordering").
-    """
-    if group.num_rows == 1:
-        return group
-    ts = group.column("warc_ts").to_numpy(zero_copy_only=False)
-    url = np.asarray(group.column("url").to_pylist())
-    order = np.lexsort((url, ts))
-    return group.take([int(order[0])])
+    if part.num_rows <= 1:
+        return part
+    fp = part.column("fp64").to_numpy(zero_copy_only=False)
+    ts = part.column("warc_ts").to_numpy(zero_copy_only=False)
+    url = url_sort_key(part.column("url"))
+    order = sort_index(fp, ts, url)
+    keep = order[first_mask(fp[order])]
+    return part.take(pa.array(np.sort(keep)))
 
 
 def exact_dedup(docs, cfg=None):
-    """``docs`` Dataset (url, warc_ts, text, lang, fp64, n_bytes) →
-    canonical Dataset with exactly one row per distinct fp64."""
-    return docs.groupby("fp64").map_groups(_keep_first, batch_format="pyarrow")
+    """``docs`` Dataset (url, warc_ts, lang, fp64, n_bytes, sig, ...) →
+    canonical Dataset with exactly one row per distinct fp64.
+
+    Two-phase hash aggregate (see sick_ray.shuffle): per-batch partial
+    distinct map-side, then one whole-partition vectorized keep-first —
+    never a per-key Python call."""
+    from sick_ray.config import DedupConfig
+    from sick_ray.shuffle import grouped_apply
+
+    cfg = cfg or DedupConfig()
+    return grouped_apply(
+        docs,
+        ["fp64"],
+        _keep_first_partition,
+        num_partitions=cfg.num_partitions,
+        partial=partial_distinct,
+    )
 
 
 def partial_distinct(batch: pa.Table) -> pa.Table:

@@ -4,156 +4,226 @@ The reference's object lookup probes a hash-bucket skip index: keys sorted
 by a 32-bit hash, 128 buckets over the hash range, probe = bucket + short
 linear scan (Scala ``eba/reader/incremental/OneObjTable.scala:44-107``, C#
 ``SickCursor.Object.cs:168-250``). The LSH band bucket is the distributed
-analogue: ``(band, band_hash)`` is the bucket key of a groupby shuffle, and
-the within-group candidate generation is the "short linear scan".
+analogue: ``bkt = mix(band, band_hash)`` is the key of a hash-partitioned
+shuffle, and the within-partition candidate generation is the "short
+linear scan" — vectorized across every bucket of the partition at once
+(see sick_ray.shuffle for why per-group calls are banned).
 
 Skew (north_rule): boilerplate-heavy pages hash thousands of docs into one
-bucket. We salt hot buckets into ``salt_fanout`` sub-buckets keyed by
-``fp64 % fanout`` (bounding any group's size), emit star edges inside each
-sub-bucket, and re-link the sub-buckets through a second, tiny groupby over
-per-sub-bucket representatives — connectivity of the original bucket is
-preserved while no group exceeds ``max(bucket_threshold, n/fanout)`` rows.
-Hot buckets are found by a cheap count pre-pass (a groupby over two narrow
-uint columns; the ``html``/``text`` payloads never enter any shuffle).
+bucket. Buckets above ``hot_bucket_threshold`` (found by a two-phase count
+pre-pass over narrow rows) are salted into ``salt_fanout`` sub-buckets
+keyed by fp64, bounding group size; each sub-bucket emits star edges plus
+one representative row, and a second tiny pass links the representatives
+of each hot bucket — full connectivity, bounded partitions. The wide
+``html``/``text`` payloads never enter any of these shuffles.
+
+Star edges (min-member ↔ other members, |group|−1 edges) replace all-pairs
+emission, which would be quadratic in a boilerplate bucket; the candidate
+set is truncated at ``max_pairs_per_bucket`` per bucket as a hard skew cap.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from sick_ray.config import DedupConfig
+from sick_ray.shuffle import (
+    U64,
+    first_mask,
+    grouped_apply,
+    group_ids,
+    mix64,
+    sort_index,
+)
 
-KIND_EDGE = 0
-KIND_REP = 1
+_POLY = U64(0x9E3779B185EBCA87)
 
 
 def explode_bands(batch: pa.Table) -> pa.Table:
-    """(fp64, band_hash: fixed_size_list<uint64, B>) → long format
-    (band:int32, band_hash:uint64, fp64:uint64). Narrow rows only."""
+    """(fp64, band_hash: fixed_size_list<int64, B>) → long format
+    (bkt:int64 bucket key, fp64:int64). 16 B/row — nothing wide."""
     n = batch.num_rows
     bh_col = batch.column("band_hash")
     if isinstance(bh_col, pa.ChunkedArray):
         bh_col = bh_col.combine_chunks()
     bands = bh_col.type.list_size
-    flat = bh_col.flatten().to_numpy(zero_copy_only=False)
+    flat = bh_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+    band_idx = np.tile(np.arange(bands, dtype=np.uint64), n)
+    bkt = mix64(flat * _POLY + band_idx).view(np.int64)
     fp = batch.column("fp64").to_numpy(zero_copy_only=False)
     return pa.table(
         {
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(flat, type=pa.int64()),
+            "bkt": pa.array(bkt, type=pa.int64()),
             "fp64": pa.array(np.repeat(fp, bands), type=pa.int64()),
         }
     )
 
 
-def hot_buckets(band_rows, threshold: int):
-    """Count pre-pass: buckets with > threshold members. Returns a small
-    pandas DataFrame (band, band_hash, count) — broadcast via make_salter."""
-    counts = band_rows.groupby(["band", "band_hash"]).count()
+# ------------------------------------------------------- hot bucket counts
 
-    def flt(batch: pa.Table) -> pa.Table:
-        cname = next(c for c in batch.column_names if c not in ("band", "band_hash"))
-        return batch.filter(pc.greater(batch.column(cname), threshold))
+def _partial_counts(batch: pa.Table) -> pa.Table:
+    bkt = batch.column("bkt").to_numpy(zero_copy_only=False)
+    ks = np.sort(bkt)
+    fm = first_mask(ks)
+    starts = np.flatnonzero(fm)
+    cnt = np.diff(np.append(starts, len(ks)))
+    return pa.table(
+        {"bkt": pa.array(ks[fm], type=pa.int64()), "cnt": pa.array(cnt, type=pa.int64())}
+    )
 
-    return counts.map_batches(flt, batch_format="pyarrow").to_pandas()
+
+def make_count_reducer(threshold: int):
+    def reduce_counts(part: pa.Table) -> pa.Table:
+        bkt = part.column("bkt").to_numpy(zero_copy_only=False)
+        cnt = part.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(bkt, kind="stable")
+        ks, cs = bkt[order], cnt[order]
+        fm = first_mask(ks)
+        starts = np.flatnonzero(fm)
+        sums = np.add.reduceat(cs, starts) if len(cs) else cs
+        keep = sums > threshold
+        return pa.table(
+            {
+                "bkt": pa.array(ks[fm][keep], type=pa.int64()),
+                "cnt": pa.array(sums[keep], type=pa.int64()),
+            }
+        )
+
+    return reduce_counts
 
 
-def make_salter(hot_df, fanout: int):
-    """Vectorized salt assigner. hot_df: (band, band_hash, ...) hot keys."""
-    per_band: dict[int, np.ndarray] = {}
-    if hot_df is not None and len(hot_df):
-        for band, grp in hot_df.groupby("band"):
-            per_band[int(band)] = np.sort(grp["band_hash"].to_numpy().astype(np.int64))
+def hot_buckets(band_rows, cfg: DedupConfig) -> np.ndarray:
+    """Two-phase count pre-pass → sorted int64 array of hot bucket keys."""
+    hot = grouped_apply(
+        band_rows,
+        ["bkt"],
+        make_count_reducer(cfg.hot_bucket_threshold),
+        num_partitions=cfg.num_partitions,
+        partial=_partial_counts,
+    ).to_pandas()
+    return np.sort(hot["bkt"].to_numpy().astype(np.int64))
+
+
+def make_salter(hot_sorted: np.ndarray, fanout: int):
+    """Append sbkt (salted bucket id): cold rows keep bkt; hot-bucket rows
+    scatter into ``fanout`` sub-buckets keyed by fp64."""
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        band = batch.column("band").to_numpy(zero_copy_only=False)
-        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        bkt = batch.column("bkt").to_numpy(zero_copy_only=False)
         fp = batch.column("fp64").to_numpy(zero_copy_only=False)
-        salt = np.zeros(len(band), dtype=np.int32)
-        for b, hot_sorted in per_band.items():
-            m = band == b
-            if not m.any():
-                continue
-            pos = np.searchsorted(hot_sorted, bh[m])
+        sbkt = bkt.copy()
+        hot = np.zeros(len(bkt), dtype=bool)
+        if len(hot_sorted):
+            pos = np.searchsorted(hot_sorted, bkt)
             pos = np.clip(pos, 0, len(hot_sorted) - 1)
-            is_hot = hot_sorted[pos] == bh[m]
-            s = np.zeros(int(m.sum()), dtype=np.int32)
-            s[is_hot] = 1 + ((fp[m][is_hot] & np.int64(0x7FFFFFFFFFFFFFFF)) % fanout).astype(np.int32)
-            salt[m] = s
-        return batch.append_column("salt", pa.array(salt, type=pa.int32()))
+            hot = hot_sorted[pos] == bkt
+            if hot.any():
+                salt = (fp[hot].view(np.uint64) % U64(fanout)) + U64(1)
+                sbkt[hot] = mix64(bkt[hot].view(np.uint64) * _POLY + salt).view(np.int64)
+        return pa.table(
+            {
+                "bkt": batch.column("bkt"),
+                "sbkt": pa.array(sbkt, type=pa.int64()),
+                "fp64": batch.column("fp64"),
+                "hot": pa.array(hot),
+            }
+        )
 
     return add_salt
 
 
-def make_edge_emitter(cfg: DedupConfig):
-    """map_groups fn over (band, band_hash, salt): star edges + reps.
+# ----------------------------------------------------------- edge emission
 
-    Star edges (min-member ↔ each other member) connect the whole group with
-    |group|-1 edges — all-pairs would be quadratic in a boilerplate bucket.
-    Salted groups (salt>0) additionally emit one KIND_REP row carrying their
-    min member, so a second groupby over (band, band_hash) can re-link the
-    sub-buckets of a salted hot bucket.
+def make_star_emitter(cfg: DedupConfig):
+    """Per-partition vectorized star-edge builder over ALL buckets at once.
+
+    Input rows: (bkt, sbkt, fp64, hot). Output: (u, v, bkt, kind) where
+    kind 0 = candidate edge, 1 = sub-bucket representative (hot only).
     """
     cap = cfg.max_pairs_per_bucket
 
-    def emit(group: pa.Table) -> pa.Table:
-        fp = np.unique(group.column("fp64").to_numpy(zero_copy_only=False))
-        band = group.column("band")[0].as_py()
-        bh = group.column("band_hash")[0].as_py()
-        salt = group.column("salt")[0].as_py() if "salt" in group.column_names else 0
-        out_u, out_v, out_k = [], [], []
-        if len(fp) > 1:
-            mn = fp[0]
-            others = fp[1 : 1 + cap]
-            out_u.append(np.full(len(others), mn, dtype=np.int64))
-            out_v.append(others)
-            out_k.append(np.zeros(len(others), dtype=np.int8))
-        if salt and len(fp) > 0:
-            out_u.append(np.array([fp[0]], dtype=np.int64))
-            out_v.append(np.array([fp[0]], dtype=np.int64))
-            out_k.append(np.array([KIND_REP], dtype=np.int8))
-        if not out_u:
+    def emit(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
             return pa.table(
                 {
-                    "band": pa.array([], type=pa.int32()),
-                    "band_hash": pa.array([], type=pa.int64()),
                     "u": pa.array([], type=pa.int64()),
                     "v": pa.array([], type=pa.int64()),
+                    "bkt": pa.array([], type=pa.int64()),
                     "kind": pa.array([], type=pa.int8()),
                 }
             )
-        u = np.concatenate(out_u)
-        n = len(u)
+        sbkt = part.column("sbkt").to_numpy(zero_copy_only=False)
+        fp = part.column("fp64").to_numpy(zero_copy_only=False)
+        bkt = part.column("bkt").to_numpy(zero_copy_only=False)
+        hot = part.column("hot").to_numpy(zero_copy_only=False)
+        order = sort_index(sbkt, fp)
+        sb, f, bk, ht = sbkt[order], fp[order], bkt[order], hot[order]
+        # drop duplicate (sbkt, fp) rows
+        fm_pair = first_mask(sb) | np.concatenate([[True], f[1:] != f[:-1]])
+        sb, f, bk, ht = sb[fm_pair], f[fm_pair], bk[fm_pair], ht[fm_pair]
+        fm = first_mask(sb)
+        gid = np.cumsum(fm) - 1
+        firsts = f[fm]                        # min fp per bucket (sorted order)
+        pos_in_group = np.arange(len(sb)) - np.flatnonzero(fm)[gid]
+        is_edge = (~fm) & (pos_in_group <= cap)
+        u = firsts[gid[is_edge]]
+        v = f[is_edge]
+        e_bkt = bk[is_edge]
+        # representatives: first row of each HOT sub-bucket
+        rep = fm & ht
+        out_u = np.concatenate([u, f[rep]])
+        out_v = np.concatenate([v, f[rep]])
+        out_b = np.concatenate([e_bkt, bk[rep]])
+        out_k = np.concatenate(
+            [np.zeros(len(u), dtype=np.int8), np.ones(int(rep.sum()), dtype=np.int8)]
+        )
         return pa.table(
             {
-                "band": pa.array(np.full(n, band, dtype=np.int32)),
-                "band_hash": pa.array(np.full(n, bh, dtype=np.int64)),
-                "u": pa.array(u, type=pa.int64()),
-                "v": pa.array(np.concatenate(out_v), type=pa.int64()),
-                "kind": pa.array(np.concatenate(out_k), type=pa.int8()),
+                "u": pa.array(out_u, type=pa.int64()),
+                "v": pa.array(out_v, type=pa.int64()),
+                "bkt": pa.array(out_b, type=pa.int64()),
+                "kind": pa.array(out_k, type=pa.int8()),
             }
         )
 
     return emit
 
 
-def link_reps(group: pa.Table) -> pa.Table:
-    """Second-phase map_groups over (band, band_hash) of KIND_REP rows:
-    chain the sub-bucket representatives of one salted hot bucket."""
-    fp = np.unique(group.column("u").to_numpy(zero_copy_only=False))
-    if len(fp) <= 1:
-        return pa.table({"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())})
+def _link_reps_partition(part: pa.Table) -> pa.Table:
+    """Chain the sub-bucket representatives of each hot bucket."""
+    bkt = part.column("bkt").to_numpy(zero_copy_only=False)
+    fp = part.column("u").to_numpy(zero_copy_only=False)
+    order = sort_index(bkt, fp)
+    bk, f = bkt[order], fp[order]
+    fm = first_mask(bk)
+    gid = np.cumsum(fm) - 1
+    firsts = f[fm]
+    is_edge = ~fm
     return pa.table(
         {
-            "u": pa.array(np.full(len(fp) - 1, fp[0], dtype=np.int64)),
-            "v": pa.array(fp[1:], type=pa.int64()),
+            "u": pa.array(firsts[gid[is_edge]], type=pa.int64()),
+            "v": pa.array(f[is_edge], type=pa.int64()),
         }
     )
 
 
+def _distinct_pairs_partition(part: pa.Table) -> pa.Table:
+    u = part.column("u").to_numpy(zero_copy_only=False)
+    v = part.column("v").to_numpy(zero_copy_only=False)
+    order = sort_index(u, v)
+    us, vs = u[order], v[order]
+    keep = np.ones(len(us), dtype=bool)
+    if len(us) > 1:
+        keep[1:] = (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])
+    return pa.table(
+        {"u": pa.array(us[keep], type=pa.int64()), "v": pa.array(vs[keep], type=pa.int64())}
+    )
+
+
 def _kind_filter(kind: int):
+    import pyarrow.compute as pc
+
     def f(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch.column("kind"), kind))
 
@@ -161,36 +231,36 @@ def _kind_filter(kind: int):
 
 
 def candidate_edges(sig_ds, cfg: DedupConfig):
-    """Signatures Dataset (fp64, sig, band_hash) → candidate edge Dataset
-    (u:uint64, v:uint64), salting hot buckets. Two groupby shuffles over
-    narrow uint columns + one tiny groupby over reps.
+    """Signatures Dataset (fp64, band_hash, …) → candidate edge Dataset
+    (u:int64, v:int64). One narrow-row shuffle for the count pre-pass, one
+    for the bucket groups, one tiny one for hot-bucket representatives.
 
-    The band-rows table (20 B/row) is materialized once and reused for the
-    count pre-pass and the bucket groupby so the upstream minhash chain is
-    not recomputed.
-    """
-    band_rows = sig_ds.map_batches(
-        explode_bands, batch_format="pyarrow"
+    The band-rows table (16 B/row) is materialized once and reused by the
+    pre-pass and the bucket shuffle so the upstream minhash chain is not
+    recomputed."""
+    band_rows = sig_ds.map_batches(explode_bands, batch_format="pyarrow").materialize()
+    hot = hot_buckets(band_rows, cfg)
+    salted = band_rows.map_batches(make_salter(hot, cfg.salt_fanout), batch_format="pyarrow")
+    raw = grouped_apply(
+        salted, ["sbkt"], make_star_emitter(cfg), num_partitions=cfg.num_partitions
     ).materialize()
-    hot = hot_buckets(band_rows, cfg.hot_bucket_threshold)
-    salted = band_rows.map_batches(
-        make_salter(hot, cfg.salt_fanout), batch_format="pyarrow"
+    edges = raw.map_batches(_kind_filter(0), batch_format="pyarrow").select_columns(["u", "v"])
+    reps = raw.map_batches(_kind_filter(1), batch_format="pyarrow")
+    rep_edges = grouped_apply(
+        reps, ["bkt"], _link_reps_partition, num_partitions=cfg.num_partitions
     )
-    raw = salted.groupby(["band", "band_hash", "salt"]).map_groups(
-        make_edge_emitter(cfg), batch_format="pyarrow"
-    ).materialize()
-    edges = raw.map_batches(_kind_filter(KIND_EDGE), batch_format="pyarrow").select_columns(["u", "v"])
-    reps = raw.map_batches(_kind_filter(KIND_REP), batch_format="pyarrow")
-    rep_edges = reps.groupby(["band", "band_hash"]).map_groups(
-        link_reps, batch_format="pyarrow"
-    ).select_columns(["u", "v"])
     return edges.union(rep_edges)
 
 
-def distinct_edges(edges_ds):
+def distinct_edges(edges_ds, cfg: DedupConfig | None = None):
     """Drop duplicate (u, v) rows (same pair surfaced by several bands)."""
-    return edges_ds.groupby(["u", "v"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    cfg = cfg or DedupConfig()
+    return grouped_apply(
+        edges_ds,
+        ["u", "v"],
+        _distinct_pairs_partition,
+        num_partitions=cfg.num_partitions,
+        partial=_distinct_pairs_partition,
     )
 
 
@@ -206,11 +276,9 @@ def build_sig_lookup(sig_table: pa.Table, num_perm: int):
 
 
 def verify_edges_broadcast(edges_ds, sig_lookup_ref, threshold: float):
-    """Filter candidate edges by estimated Jaccard (= fraction of equal
-    signature components). ``sig_lookup_ref`` = ray.put(build_sig_lookup(...))
-    — the broadcast-small-side pattern: ray.put once on the driver, every
-    task reads it from the (shared) object store, never re-shipped per
-    batch."""
+    """Filter candidate edges by estimated Jaccard (fraction of equal
+    signature components). ``sig_lookup_ref`` = ray.put(build_sig_lookup(..))
+    — broadcast once, read per task from the shared object store."""
     import ray
 
     def verify(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,333 @@
+"""Stage 3 — substring-level dedup: partition-local suffix arrays + a
+global content-anchored fingerprint pass.
+
+The reference deduplicates whole identical subtrees only (hash-consing,
+``Bijection.cs:47-67`` structural equality); it has no substring-level
+notion. At web scale the standard requirement (north_rule) is finding
+verbatim duplicated spans ≥ ``min_span`` bytes.
+
+Two complementary passes:
+
+1. **Partition-local suffix array** (exact, intra-partition): each
+   ``map_batches`` batch concatenates its docs' UTF-8 bytes, builds a
+   suffix array by prefix-doubling (NumPy lexsort, O(n log² n)), and marks
+   positions whose SA-adjacent suffix shares a prefix of ≥ L bytes —
+   checked in O(1) via precomputed polynomial window hashes and confirmed
+   by a direct byte compare (no hash-collision false positives). Runs of
+   duplicated positions merge into maximal spans per doc.
+
+2. **Global anchored-fingerprint pass** (cross-partition): alignment-
+   independent anchors are chosen by content (winnowing-style: positions
+   where a q-gram rolling hash ≡ 0 mod stride), the L-byte window hash at
+   each anchor is emitted as a narrow ``(whash, url, start)`` row, and a
+   ``groupby(whash)`` shuffle surfaces windows occurring in ≥2 docs (or
+   ≥ L apart in one doc). Because anchors are content-defined, two copies
+   of a span share anchors regardless of their byte offsets — this is what
+   "merges across partition boundaries": no partition co-location is
+   needed to detect a cross-partition duplicate.
+
+Span offsets are BYTE offsets into the UTF-8 encoding of ``text``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from sick_ray.config import DedupConfig
+
+U64 = np.uint64
+_C = U64(0x100000001B3)          # odd multiplier (FNV prime)
+_CINV = U64(pow(0x100000001B3, -1, 1 << 64))
+_QGRAM = 16                       # anchor q-gram width
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array of uint8 array ``s`` by prefix doubling (numpy)."""
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = s.astype(np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        if k < n:
+            key2[:-k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r1 = rank[order]
+        r2 = key2[order]
+        neq = np.ones(n, dtype=bool)
+        neq[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new = np.empty(n, dtype=np.int64)
+        new[order] = np.cumsum(neq) - 1
+        rank = new
+        if rank[order[-1]] == n - 1:
+            return order
+        k <<= 1
+
+
+def window_hashes(s: np.ndarray, L: int) -> np.ndarray:
+    """H[i] = position-independent polynomial hash of s[i:i+L] for all i
+    with i+L<=n, via prefix sums in uint64 wraparound arithmetic."""
+    n = len(s)
+    if n < L:
+        return np.empty(0, dtype=np.uint64)
+    pw = np.empty(n + 1, dtype=np.uint64)
+    pw[0] = 1
+    pw[1:] = _C
+    np.cumprod(pw, out=pw)                     # pw[i] = C^i
+    pwin = np.empty(n, dtype=np.uint64)
+    pwin[0] = 1
+    pwin[1:] = _CINV
+    np.cumprod(pwin, out=pwin)                 # pwin[i] = C^-i
+    q = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(s.astype(np.uint64) * pwin, out=q[1:])
+    # H[i] = C^(i+L-1) * (Q[i+L] - Q[i]) == C^(L-1) * window-poly
+    i = np.arange(n - L + 1)
+    return pw[i + L - 1] * (q[i + L] - q[i])
+
+
+def _concat_docs(urls: list[str], texts: list[str]):
+    payloads = [t.encode("utf-8") if t else b"" for t in texts]
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    return buf, starts, ends
+
+
+def _merge_runs(positions: np.ndarray, L: int, max_gap: int = 1):
+    """Sorted window-start positions → maximal [start, end) spans."""
+    if len(positions) == 0:
+        return []
+    brk = np.flatnonzero(np.diff(positions) > max_gap)
+    seg_starts = np.concatenate([[0], brk + 1])
+    seg_ends = np.concatenate([brk, [len(positions) - 1]])
+    return [
+        (int(positions[a]), int(positions[b]) + L)
+        for a, b in zip(seg_starts, seg_ends)
+    ]
+
+
+def make_sa_span_finder(cfg: DedupConfig):
+    """map_batches fn: per-partition suffix-array duplicated-span finder.
+
+    Emits (url:string, start:int64, end:int64) byte-offset spans of text
+    duplicated (≥ min_span bytes) elsewhere in the same partition.
+    """
+    L = cfg.min_span
+
+    def find(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        buf, starts, ends = _concat_docs(urls, texts)
+        n = len(buf)
+        empty = pa.table(
+            {
+                "url": pa.array([], type=pa.string()),
+                "start": pa.array([], type=pa.int64()),
+                "end": pa.array([], type=pa.int64()),
+            }
+        )
+        if n < L:
+            return empty
+        sa = suffix_array(buf)
+        H = window_hashes(buf, L)
+        # doc id / doc end per byte position
+        doc_of = np.searchsorted(ends, np.arange(n), side="right")
+        doc_end = ends[doc_of]
+        # position i hosts a full in-doc window iff i+L <= its doc end
+        valid = np.arange(n) + L <= doc_end
+        sa_valid = valid[sa]
+        # adjacent valid SA entries sharing an L-prefix (hash + byte check)
+        p = sa[:-1]
+        qq = sa[1:]
+        cand = sa_valid[:-1] & sa_valid[1:]
+        cand &= H[np.where(cand, p, 0)] == H[np.where(cand, qq, 0)]
+        ci = np.flatnonzero(cand)
+        if len(ci) == 0:
+            return empty
+        # confirm by byte compare (vectorized gather)
+        off = np.arange(L)
+        a = buf[p[ci][:, None] + off]
+        b = buf[qq[ci][:, None] + off]
+        ok = (a == b).all(axis=1)
+        ci = ci[ok]
+        # require: different doc, or same doc but >= L apart (true repeat)
+        pi, qi = p[ci], qq[ci]
+        keep = (doc_of[pi] != doc_of[qi]) | (np.abs(pi - qi) >= L)
+        dup_pos = np.unique(np.concatenate([pi[keep], qi[keep]]))
+        if len(dup_pos) == 0:
+            return empty
+        out_u, out_s, out_e = [], [], []
+        d_of = doc_of[dup_pos]
+        for d in np.unique(d_of):
+            pos = dup_pos[d_of == d] - starts[d]
+            for s0, e0 in _merge_runs(np.sort(pos), L):
+                out_u.append(urls[int(d)])
+                out_s.append(s0)
+                out_e.append(min(e0, int(ends[d] - starts[d])))
+        return pa.table(
+            {
+                "url": pa.array(out_u, type=pa.string()),
+                "start": pa.array(out_s, type=pa.int64()),
+                "end": pa.array(out_e, type=pa.int64()),
+            }
+        )
+
+    return find
+
+
+def _global_window(cfg: DedupConfig) -> int:
+    """Window width for the global pass: half of min_span, so a shared
+    region of exactly min_span bytes still contains fully-interior windows
+    at content-defined anchors in both copies."""
+    return max(32, cfg.min_span // 2)
+
+
+def make_anchor_emitter(cfg: DedupConfig):
+    """map_batches fn: emit (whash:int64, url, start:int64) rows at
+    content-defined anchor positions (winnowing-style)."""
+    L = _global_window(cfg)
+    stride = cfg.span_stride
+
+    def emit(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_h, out_u, out_s = [], [], []
+        for url, t in zip(urls, texts):
+            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if len(b) < L:
+                continue
+            qh = window_hashes(b, _QGRAM)
+            anchors = np.flatnonzero(qh % U64(stride) == 0)
+            anchors = anchors[anchors + L <= len(b)]
+            if len(anchors) == 0:
+                continue
+            wh = window_hashes(b, L)
+            out_h.append(wh[anchors].view(np.int64))
+            out_u.extend([url] * len(anchors))
+            out_s.append(anchors)
+        if not out_h:
+            return pa.table(
+                {
+                    "whash": pa.array([], type=pa.int64()),
+                    "url": pa.array([], type=pa.string()),
+                    "start": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "whash": pa.array(np.concatenate(out_h), type=pa.int64()),
+                "url": pa.array(out_u, type=pa.string()),
+                "start": pa.array(np.concatenate(out_s), type=pa.int64()),
+            }
+        )
+
+    return emit
+
+
+def make_anchor_survivors(cfg: DedupConfig):
+    """Per-partition vectorized filter over ALL whash groups at once: keep
+    anchor rows whose window occurs in ≥2 docs (or ≥W apart in one doc) —
+    each survivor is a duplicated span seed."""
+    from sick_ray.shuffle import first_mask, sort_index
+    from sick_ray.xxh import xxh64_strings
+
+    W = _global_window(cfg)
+
+    def survivors(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part.select(["url", "start"])
+        wh = part.column("whash").to_numpy(zero_copy_only=False)
+        st = part.column("start").to_numpy(zero_copy_only=False)
+        uh = xxh64_strings(part.column("url")).view(np.int64)
+        order = sort_index(wh, uh, st)
+        w_s, u_s, s_s = wh[order], uh[order], st[order]
+        fm = first_mask(w_s)
+        gid = np.cumsum(fm) - 1
+        starts = np.flatnonzero(fm)
+        # per-group: #distinct urls, start spread
+        url_chg = np.zeros(len(w_s), dtype=np.int64)
+        url_chg[1:] = (u_s[1:] != u_s[:-1]) & ~fm[1:]
+        n_urls = np.add.reduceat(url_chg, starts) + 1
+        smin = np.minimum.reduceat(s_s, starts)
+        smax = np.maximum.reduceat(s_s, starts)
+        keep_grp = (n_urls >= 2) | (smax - smin >= W)
+        keep = keep_grp[gid]
+        idx = order[keep]
+        return part.take(pa.array(np.sort(idx))).select(["url", "start"])
+
+    return survivors
+
+
+def _merge_url_spans_partition(part: pa.Table) -> pa.Table:
+    """Vectorized overlapping-interval merge for ALL urls in a partition."""
+    from sick_ray.shuffle import first_mask, sort_index
+    from sick_ray.xxh import xxh64_strings
+
+    if part.num_rows == 0:
+        return part
+    uh = xxh64_strings(part.column("url")).view(np.int64)
+    s = part.column("start").to_numpy(zero_copy_only=False)
+    e = part.column("end").to_numpy(zero_copy_only=False)
+    order = sort_index(uh, s, e)
+    u_s, s_s, e_s = uh[order], s[order], e[order]
+    fm = first_mask(u_s)
+    gid = np.cumsum(fm) - 1
+    # segmented running-max of end via per-group offsets (doc spans < 2^41)
+    OFF = np.int64(1) << np.int64(41)
+    base = gid * OFF
+    cummax = np.maximum.accumulate(e_s + base)
+    prev_end = np.empty_like(cummax)
+    prev_end[0] = np.iinfo(np.int64).min
+    prev_end[1:] = cummax[:-1]
+    new_span = fm | ((s_s + base) > prev_end)
+    sid = np.cumsum(new_span) - 1
+    span_starts = np.flatnonzero(new_span)
+    out_s = s_s[span_starts]
+    out_e = np.maximum.reduceat(e_s, span_starts)
+    url_arr = part.column("url").take(pa.array(order[span_starts]))
+    return pa.table(
+        {
+            "url": url_arr,
+            "start": pa.array(out_s, type=pa.int64()),
+            "end": pa.array(out_e, type=pa.int64()),
+        }
+    )
+
+
+def duplicate_spans(docs_ds, cfg: DedupConfig | None = None):
+    """Dataset (url, text, ...) → Dataset (url, start, end) of duplicated
+    spans ≥ cfg.min_span bytes. Combines the partition-local suffix-array
+    pass and the global anchored groupby pass, then merges overlaps."""
+    from sick_ray.shuffle import grouped_apply
+
+    cfg = cfg or DedupConfig()
+    docs = docs_ds.select_columns(["url", "text"])
+    local = docs.map_batches(
+        make_sa_span_finder(cfg), batch_format="pyarrow", batch_size=1024
+    )
+    anchors = docs.map_batches(make_anchor_emitter(cfg), batch_format="pyarrow")
+    seeds = grouped_apply(
+        anchors, ["whash"], make_anchor_survivors(cfg), num_partitions=cfg.num_partitions
+    )
+
+    def seed_to_span(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "start": batch.column("start"),
+                "end": pa.array(
+                    batch.column("start").to_numpy(zero_copy_only=False)
+                    + _global_window(cfg),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    global_spans = seeds.map_batches(seed_to_span, batch_format="pyarrow")
+    all_spans = local.union(global_spans)
+    return grouped_apply(
+        all_spans, ["url"], _merge_url_spans_partition, num_partitions=cfg.num_partitions
+    )

@@ -1,0 +1,87 @@
+"""Stage 3: suffix array, window hashes, planted-span detection."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from sick_ray.config import DedupConfig
+from sick_ray.stages.suffix import suffix_array, window_hashes
+
+
+def test_suffix_array_matches_naive():
+    rng = np.random.default_rng(5)
+    for n in (1, 2, 7, 50, 300):
+        s = rng.integers(0, 4, size=n).astype(np.uint8)  # small alphabet
+        sa = suffix_array(s)
+        b = bytes(s)
+        want = sorted(range(n), key=lambda i: b[i:])
+        assert sa.tolist() == want
+
+
+def test_window_hash_position_independent():
+    rng = np.random.default_rng(6)
+    s = rng.integers(0, 256, size=500).astype(np.uint8)
+    # plant an identical 64-byte window at two offsets
+    s[100:164] = s[300:364]
+    h = window_hashes(s, 64)
+    assert h[100] == h[300]
+    # and differing windows differ
+    assert h[0] != h[100] or bytes(s[0:64]) == bytes(s[100:164])
+
+
+def _byte_offset(text: str, char_off: int) -> int:
+    return len(text[:char_off].encode("utf-8"))
+
+
+@pytest.fixture(scope="module")
+def spans_result(ray_session, small_corpus):
+    import ray.data as rd
+
+    from sick_ray.stages.suffix import duplicate_spans
+
+    docs = rd.read_parquet(os.path.join(small_corpus, "webtext.parquet"))
+    cfg = DedupConfig()
+    spans = duplicate_spans(docs, cfg).to_pandas()
+    return spans, small_corpus
+
+
+def test_planted_spans_detected(spans_result):
+    spans, d = spans_result
+    truth = pq.read_table(os.path.join(d, "truth_spans.parquet")).to_pandas()
+    web = pq.read_table(os.path.join(d, "webtext.parquet")).to_pandas()
+    text_of = dict(zip(web["url"], web["text"]))
+    by_url = {u: g for u, g in spans.groupby("url")}
+    found = 0
+    for r in truth.itertuples():
+        t = text_of[r.url]
+        bs, be = _byte_offset(t, r.start), _byte_offset(t, r.end)
+        g = by_url.get(r.url)
+        if g is None:
+            continue
+        inter = np.minimum(g["end"], be) - np.maximum(g["start"], bs)
+        if (inter > 128).any():
+            found += 1
+    recall = found / len(truth)
+    assert recall >= 0.95, f"span recall {recall:.3f} ({found}/{len(truth)})"
+
+
+def test_exact_dup_texts_marked_as_spans(spans_result):
+    """Byte-identical docs (>=256B) should be flagged near-fully duplicated."""
+    spans, d = spans_result
+    te = pq.read_table(os.path.join(d, "truth_exact.parquet")).to_pandas()
+    web = pq.read_table(os.path.join(d, "webtext.parquet")).to_pandas()
+    text_of = dict(zip(web["url"], web["text"]))
+    big = [u for u in te["url"] if len((text_of.get(u) or "").encode()) >= 512]
+    by_url = {u: g for u, g in spans.groupby("url")}
+    covered = 0
+    for u in big:
+        g = by_url.get(u)
+        if g is None:
+            continue
+        n = len(text_of[u].encode())
+        cov = (g["end"] - g["start"]).sum()
+        if cov >= 0.5 * n:
+            covered += 1
+    assert covered / max(1, len(big)) >= 0.9
