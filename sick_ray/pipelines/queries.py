@@ -1,0 +1,527 @@
+"""Operator-level queries with DuckDB oracle parity (driver contract).
+
+Each entry is a callable ``(sf_dir) -> Dataset | pa.Table | DataFrame``
+implemented Ray-Data-first, plus (where SQL-expressible) an ANSI-SQL
+oracle string producing identical column names, dtypes and values on the
+same parquet tables. Aggregate columns are rounded identically on both
+sides where floating-point summation order could differ.
+
+Patterns exercised (SURVEY.md §2 mapping):
+- zero-copy Arrow map_batches projections/filters/derived columns
+- partial aggregation (vectorized per batch) + small driver combine for
+  low-cardinality keys; hash-partitioned grouped_apply for high-cardinality
+- broadcast hash join for small dimension tables (ray.put once)
+- per-batch partial top-k + driver merge instead of a global sort
+- exact dedup keep-first; group stats; token counting; path queries (the
+  analogue of the reference's ``query("a.b.[0]")`` —
+  json-sick-scala ``IncrementalEBAReader.scala:134-186``)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sick_ray.config import DedupConfig
+from sick_ray.shuffle import first_mask, grouped_apply, sort_index
+from sick_ray.xxh import xxh64_strings
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+QCFG = DedupConfig(num_partitions=16, minhash_concurrency=4)
+
+
+# --------------------------------------------------------------- documents
+
+def _add_text_fp(batch: pa.Table) -> pa.Table:
+    fp = xxh64_strings(batch.column("text")).view(np.int64)
+    return batch.append_column("fp64", pa.array(fp, type=pa.int64()))
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """One row per distinct text; keep min doc_id. groupby(text-hash) with
+    vectorized keep-first (stages/exact.py pattern on the documents table)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    with_fp = docs.map_batches(_add_text_fp, batch_format="pyarrow")
+
+    def keep_first(part: pa.Table) -> pa.Table:
+        fp = part.column("fp64").to_numpy(zero_copy_only=False)
+        did = part.column("doc_id").to_numpy(zero_copy_only=False)
+        order = sort_index(fp, did)
+        keep = order[first_mask(fp[order])]
+        return part.take(pa.array(np.sort(keep))).select(["doc_id", "n_chars"])
+
+    return grouped_apply(with_fp, ["fp64"], keep_first, num_partitions=QCFG.num_partitions)
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def q_dup_group_stats(sf_dir: str):
+    """Per distinct text: group id (min doc_id) + member count — the
+    analogue of the reference's per-value use counters (Bijection.Freq,
+    SickSharp/Encoder/Bijection.cs:106-109)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    with_fp = docs.map_batches(_add_text_fp, batch_format="pyarrow")
+
+    def stats(part: pa.Table) -> pa.Table:
+        fp = part.column("fp64").to_numpy(zero_copy_only=False)
+        did = part.column("doc_id").to_numpy(zero_copy_only=False)
+        order = sort_index(fp, did)
+        fps, dids = fp[order], did[order]
+        fm = first_mask(fps)
+        starts = np.flatnonzero(fm)
+        cnt = np.diff(np.append(starts, len(fps)))
+        return pa.table(
+            {
+                "group_id": pa.array(dids[fm], type=pa.int64()),
+                "n_members": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    return grouped_apply(with_fp, ["fp64"], stats, num_partitions=QCFG.num_partitions)
+
+
+SQL_DUP_GROUP_STATS = """
+SELECT CAST(min(doc_id) AS BIGINT) AS group_id,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM documents GROUP BY text
+"""
+
+
+def q_token_count_docs(sf_dir: str):
+    from sick_ray.functions.text import add_token_count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(add_token_count, batch_format="pyarrow").select_columns(
+        ["doc_id", "token_count"]
+    )
+
+
+SQL_TOKEN_COUNT_DOCS = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[0-9A-Za-z]+')) AS BIGINT) AS token_count
+FROM documents
+"""
+
+
+def q_docs_stats_by_lang(sf_dir: str):
+    """Low-cardinality grouped aggregate: vectorized per-batch partials,
+    tiny driver combine (pre-aggregation pattern — no full shuffle)."""
+    docs = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_DOCS_STATS_BY_LANG = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_filter_long_en_docs(sf_dir: str):
+    """Projection + vectorized predicate inside map_batches."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "source"])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch.column("lang"), "en"),
+            pc.greater_equal(batch.column("n_chars"), 500),
+        )
+        return batch.filter(m).select(["doc_id", "source", "n_chars"])
+
+    return docs.map_batches(flt, batch_format="pyarrow")
+
+
+SQL_FILTER_LONG_EN_DOCS = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE lang = 'en' AND n_chars >= 500
+"""
+
+
+# ----------------------------------------------------------- TPC-H-ish ops
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: partial aggregation per batch, driver combine."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("sum_qty", "sum"),
+        sum_base_price=("sum_base_price", "sum"),
+        sum_disc_price=("sum_disc_price", "sum"),
+        count_order=("count_order", "sum"),
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    out["count_order"] = out["count_order"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top10_orders(sf_dir: str):
+    """Top-k without a global sort: per-batch partial top-k, driver merge."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(10),
+            preserve_index=False,
+        )
+
+    parts = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_TOP10_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """Broadcast hash join: customer (small side) shipped once via ray.put,
+    looked up per batch — no shuffle join (ray_guide 'Joins and lookups')."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(seg_of)
+        df = batch.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(lookup)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("c_mktsegment", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_region_nations(sf_dir: str):
+    import ray
+
+    region = _read(sf_dir, "region").to_pandas()
+    rmap = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+    nation = _read(sf_dir, "nation", columns=["n_regionkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(rmap)
+        df = batch.to_pandas()
+        df["r_name"] = df["n_regionkey"].map(lookup)
+        g = df.groupby("r_name", as_index=False).size().rename(columns={"size": "n_nations"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = nation.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("r_name", as_index=False).agg(n_nations=("n_nations", "sum"))
+    out["n_nations"] = out["n_nations"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_REGION_NATIONS = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_distinct_segments(sf_dir: str):
+    cust = _read(sf_dir, "customer", columns=["c_mktsegment"])
+
+    def distinct(part: pa.Table) -> pa.Table:
+        vals = sorted(set(part.column("c_mktsegment").to_pylist()))
+        return pa.table({"c_mktsegment": pa.array(vals, type=pa.string())})
+
+    return grouped_apply(
+        cust, ["c_mktsegment"], distinct, num_partitions=4, partial=distinct
+    )
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# ---------------------------------------------------------------- events
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (streaming-shaped op on the ordered log):
+    window = floor(ts, 1h); partial per batch + driver combine."""
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value", "size"), total_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["event_type", "hour"], as_index=False).agg(
+        n_events=("n_events", "sum"), total_value=("total_value", "sum")
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["total_value"] = out["total_value"].round(2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_props_path(sf_dir: str):
+    """Path query over a JSON column — the engine analogue of the
+    reference's dotted-path cursor query (``SickReader.Query.cs:11-42``,
+    Scala ``IncrementalEBAReader.scala:134-186``): extract ``$.k``."""
+    ev = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<v>-?\d+)')
+        k_val = pc.struct_field(m, "v")
+        return pa.table({"event_id": batch.column("event_id"), "k_val": k_val})
+
+    return ev.map_batches(extract, batch_format="pyarrow")
+
+
+SQL_PROPS_PATH = """
+SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
+"""
+
+
+# ------------------------------------------------------------- embeddings
+
+def q_knn_embeddings(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    import pyarrow.parquet as pq
+
+    from sick_ray.stages.ann import knn_bruteforce
+
+    emb0 = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .filter(pc.equal(pc.field("vec_id"), 0))
+        .column("embedding")
+        .to_pylist()[0]
+    )
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_bruteforce(ds, np.asarray([emb0]), k=10)
+    out = out.select(["vec_id", "rank"])
+    return out
+
+
+SQL_KNN_EMBEDDINGS = """
+SELECT e.vec_id,
+       CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+       ) - 1 AS BIGINT) AS rank
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY rank LIMIT 10
+"""
+
+
+# --------------------------------------------- dedup pipeline (rows-only)
+
+def _docs_as_webtext(sf_dir: str):
+    """Adapter: documents table → the webtext shape (deterministic)."""
+    docs = _read(sf_dir, "documents")
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        urls = [f"doc://{d}" for d in did]
+        ts = (1735689600_000_000 + did * 1_000_000).astype("datetime64[us]")
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+                "html": pa.array([None] * len(urls), type=pa.binary()),
+                "text": batch.column("text"),
+                "lang": batch.column("lang"),
+            }
+        )
+
+    return docs.map_batches(adapt, batch_format="pyarrow")
+
+
+def q_dedup_clusters_docs(sf_dir: str):
+    """Flagship 3-stage near-dup pipeline on the documents corpus."""
+    from sick_ray.pipelines.dedup import run_dedup
+
+    res = run_dedup(_docs_as_webtext(sf_dir), QCFG)
+    return res.clusters
+
+
+def q_doc_spans(sf_dir: str):
+    """Substring dedup spans on the documents corpus."""
+    from sick_ray.stages.suffix import duplicate_spans
+
+    return duplicate_spans(_docs_as_webtext(sf_dir), QCFG)
+
+
+def q_simhash_docs(sf_dir: str):
+    """SimHash signatures per doc (rows-only check: deterministic count)."""
+    from sick_ray.functions.simhash import add_simhash
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(add_simhash, batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash"]
+    )
+
+
+def q_lang_id_docs(sf_dir: str):
+    from sick_ray.functions.text import LangId
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return docs.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 2)
+    ).select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def q_quality_docs(sf_dir: str):
+    from sick_ray.functions.text import add_quality_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(add_quality_score, batch_format="pyarrow").select_columns(
+        ["doc_id", "quality"]
+    )
+
+
+def q_knn_lsh_embeddings(sf_dir: str):
+    """LSH-bucketed ANN (scale path of q_knn_embeddings; rows-only)."""
+    import pyarrow.parquet as pq
+
+    from sick_ray.stages.ann import knn_lsh
+
+    emb0 = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .filter(pc.equal(pc.field("vec_id"), 0))
+        .column("embedding")
+        .to_pylist()[0]
+    )
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_lsh(ds, np.asarray([emb0]), k=10)
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal plumbing: deterministic fake media → actor-pool decode."""
+    import ray.data as rd
+
+    from sick_ray.stages.multimodal import decode_images, synth_media
+
+    media = rd.from_arrow(synth_media(200, seed=7))
+    return decode_images(media, concurrency=2).select_columns(
+        ["media_id", "pix_mean", "pix_std"]
+    )
+
+
+QUERIES = {
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "dup_group_stats": q_dup_group_stats,
+    "token_count_docs": q_token_count_docs,
+    "docs_stats_by_lang": q_docs_stats_by_lang,
+    "filter_long_en_docs": q_filter_long_en_docs,
+    "pricing_summary": q_pricing_summary,
+    "top10_orders": q_top10_orders,
+    "segment_revenue": q_segment_revenue,
+    "region_nations": q_region_nations,
+    "distinct_segments": q_distinct_segments,
+    "events_hourly": q_events_hourly,
+    "props_path": q_props_path,
+    "knn_embeddings": q_knn_embeddings,
+    "dedup_clusters_docs": q_dedup_clusters_docs,
+    "doc_spans": q_doc_spans,
+    "simhash_docs": q_simhash_docs,
+    "lang_id_docs": q_lang_id_docs,
+    "quality_docs": q_quality_docs,
+    "knn_lsh_embeddings": q_knn_lsh_embeddings,
+    "media_decode": q_media_decode,
+}
+
+ORACLES = {
+    "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
+    "dup_group_stats": SQL_DUP_GROUP_STATS,
+    "token_count_docs": SQL_TOKEN_COUNT_DOCS,
+    "docs_stats_by_lang": SQL_DOCS_STATS_BY_LANG,
+    "filter_long_en_docs": SQL_FILTER_LONG_EN_DOCS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top10_orders": SQL_TOP10_ORDERS,
+    "segment_revenue": SQL_SEGMENT_REVENUE,
+    "region_nations": SQL_REGION_NATIONS,
+    "distinct_segments": SQL_DISTINCT_SEGMENTS,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "props_path": SQL_PROPS_PATH,
+    "knn_embeddings": SQL_KNN_EMBEDDINGS,
+    # dedup_clusters_docs / doc_spans / simhash_docs / lang_id_docs /
+    # quality_docs / knn_lsh_embeddings / media_decode: not SQL-expressible
+    # (stateful hashing / heuristic scoring / LSH) → rows-only checks.
+}

@@ -1,0 +1,173 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_bruteforce``: exact cosine top-k. The query matrix is broadcast
+  once (``ray.put``); every batch does one float32 matmul against it and
+  emits only its per-batch top-k rows; the driver merges the tiny partials.
+  This is the baseline and the verification oracle for the ANN variants.
+- ``knn_lsh``: random-hyperplane LSH (Charikar): bucket by sign-pattern
+  over ``n_planes`` hyperplanes × ``n_tables`` tables, score only bucket
+  collisions — the scale path (candidates ≪ n per query).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from sick_ray.config import AnnConfig
+
+
+def _emb_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        width = col.type.list_size
+        return col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), width)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    offs = np.asarray(col.offsets)
+    width = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return flat.reshape(len(col), width)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def knn_bruteforce(emb_ds, queries: np.ndarray, k: int = 10,
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact cosine top-k of every query against the dataset.
+
+    Returns pa.Table (query_id:int64, vec_id:int64, cosine:float64, rank:
+    int64), rank 0 = best, ties broken by vec_id (deterministic).
+    """
+    import ray
+
+    qn = _normalize(np.atleast_2d(np.asarray(queries)))
+    q_ref = ray.put(qn)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_emb_matrix(batch.column(emb_col)))
+        scores = q @ m.T                                   # (nq, nb)
+        nq, nb = scores.shape
+        kk = min(k, nb)
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        rows = {
+            "query_id": np.repeat(np.arange(nq, dtype=np.int64), kk),
+            "vec_id": ids[part.reshape(-1)].astype(np.int64),
+            "cosine": np.take_along_axis(scores, part, axis=1).reshape(-1),
+        }
+        return pa.table(rows)
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    # driver merge of the small per-batch top-k sets
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(len(g), dtype=np.int64))
+        out.append(g)
+    import pandas as pd
+
+    merged = pd.concat(out, ignore_index=True) if out else partials.assign(rank=[])
+    merged["cosine"] = merged["cosine"].round(6)
+    return pa.Table.from_pandas(merged[["query_id", "vec_id", "cosine", "rank"]],
+                                preserve_index=False)
+
+
+class HyperplaneHasher:
+    """Shared LSH state: ``n_tables`` × ``n_planes`` random hyperplanes
+    (seeded). Built once per actor / broadcast once."""
+
+    def __init__(self, dim: int, cfg: AnnConfig):
+        rng = np.random.default_rng(cfg.seed + 0xA11)
+        self.planes = rng.standard_normal((cfg.n_tables, cfg.n_planes, dim))
+        self.cfg = cfg
+
+    def bucket_keys(self, m: np.ndarray) -> np.ndarray:
+        """(n, n_tables) int64 bucket keys (table id mixed into the key)."""
+        n = m.shape[0]
+        keys = np.empty((n, self.planes.shape[0]), dtype=np.int64)
+        for t in range(self.planes.shape[0]):
+            bits = (m @ self.planes[t].T) > 0                 # (n, n_planes)
+            val = np.zeros(n, dtype=np.uint64)
+            for j in range(bits.shape[1]):
+                val = (val << np.uint64(1)) | bits[:, j].astype(np.uint64)
+            from sick_ray.shuffle import mix64
+
+            keys[:, t] = mix64(val * np.uint64(0x9E3779B185EBCA87) + np.uint64(t)).view(
+                np.int64
+            )
+        return keys
+
+
+def knn_lsh(emb_ds, queries: np.ndarray, k: int = 10, cfg: AnnConfig | None = None,
+            id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Approximate cosine top-k: score only vectors sharing ≥1 hyperplane-LSH
+    bucket with the query (any of n_tables). Same output schema as
+    knn_bruteforce; recall measured against it in tests."""
+    import ray
+
+    cfg = cfg or AnnConfig()
+    qm = _normalize(np.atleast_2d(np.asarray(queries)))
+    dim = qm.shape[1]
+    hasher = HyperplaneHasher(dim, cfg)
+    qkeys = hasher.bucket_keys(qm)                           # (nq, T)
+    state_ref = ray.put((qm, qkeys, hasher.planes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, qk, planes = ray.get(state_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_emb_matrix(batch.column(emb_col)))
+        h = HyperplaneHasher.__new__(HyperplaneHasher)
+        h.planes = planes
+        keys = h.bucket_keys(m)                              # (nb, T)
+        # candidate mask: any table key matches any query's key for that table
+        nq = q.shape[0]
+        out_q, out_v, out_c = [], [], []
+        for t in range(keys.shape[1]):
+            qk_t = qk[:, t]
+            order = np.argsort(keys[:, t])
+            pos = np.searchsorted(keys[order, t], qk_t)
+            # expand runs of equal keys
+            for qi in range(nq):
+                p = pos[qi]
+                while p < len(order) and keys[order[p], t] == qk_t[qi]:
+                    out_q.append(qi)
+                    out_v.append(order[p])
+                    p += 1
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        qi = np.asarray(out_q)
+        vi = np.asarray(out_v)
+        pair = np.unique(qi * (1 << 32) + vi)
+        qi, vi = pair >> 32, pair & ((1 << 32) - 1)
+        cos = np.einsum("ij,ij->i", q[qi], m[vi])
+        return pa.table(
+            {
+                "query_id": pa.array(qi.astype(np.int64)),
+                "vec_id": pa.array(ids[vi].astype(np.int64)),
+                "cosine": pa.array(cos, type=pa.float64()),
+            }
+        )
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    import pandas as pd
+
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(len(g), dtype=np.int64))
+        out.append(g)
+    merged = pd.concat(out, ignore_index=True) if out else partials.assign(rank=[])
+    merged["cosine"] = merged["cosine"].round(6)
+    return pa.Table.from_pandas(merged[["query_id", "vec_id", "cosine", "rank"]],
+                                preserve_index=False)

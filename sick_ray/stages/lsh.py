@@ -102,6 +102,8 @@ def hot_buckets(band_rows, cfg: DedupConfig) -> np.ndarray:
         num_partitions=cfg.num_partitions,
         partial=_partial_counts,
     ).to_pandas()
+    if "bkt" not in hot.columns:              # empty result loses its schema
+        return np.empty(0, dtype=np.int64)
     return np.sort(hot["bkt"].to_numpy().astype(np.int64))
 
 
