@@ -1,0 +1,158 @@
+"""Benchmark driver — headline dedup throughput + per-query timings.
+
+Usage:
+  python bench.py              # one JSON line (driver contract)
+  python bench.py --scaling    # fresh-process runs at 8 and 32 CPUs +
+                               # scaling efficiency (north_rule evidence)
+
+Headline metric: docs/sec of the full 3-stage dedup pipeline (extract →
+fp64 → MinHash/LSH → components → clusters, plus substring spans) over a
+deterministic synthetic webtext corpus sized by $GRAFT_SF_DIR's scale
+factor. Corpus generation is cached outside the timed region; the OS page
+cache is warmed by an untimed read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# webtext corpus size by scale factor (sf0.1 → 40k docs ≈ 80 MB text)
+_SF_DOCS = {"sf0.001": 1_000, "sf0.01": 8_000, "sf0.1": 40_000}
+
+
+def corpus_size() -> int:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    return _SF_DOCS.get(base, 40_000)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from sick_ray.config import DedupConfig
+    from sick_ray.pipelines.dedup import run_dedup
+    from sick_ray.pipelines.queries import QUERIES
+    from sick_ray.stages.suffix import duplicate_spans
+    from sick_ray.synth import materialize_corpus
+
+    n_docs = corpus_size()
+    corpus_dir = materialize_corpus(n_docs, seed=42)
+    web_path = os.path.join(corpus_dir, "webtext.parquet")
+
+    # warm page cache (untimed)
+    rd.read_parquet(web_path).count()
+
+    cfg = DedupConfig(
+        minhash_concurrency=max(2, NUM_CPUS // 4),
+        num_partitions=max(16, NUM_CPUS * 2),
+        uf_shards=max(2, NUM_CPUS // 4),
+    )
+
+    t0 = time.time()
+    res = run_dedup(rd.read_parquet(web_path), cfg)
+    n_clusters = res.clusters.count()
+    dedup_sec = time.time() - t0
+
+    # stage 3 consumes stage 1's output: spans over exact-deduped canonical
+    # docs only (url set broadcast; text re-read from the source, no shuffle)
+    t1 = time.time()
+    canon_urls = set(res.canonical.select_columns(["url"]).to_pandas()["url"])
+    urls_ref = ray.put(canon_urls)
+
+    def keep_canonical(batch):
+        import pyarrow as pa
+
+        urls = ray.get(urls_ref)
+        mask = [u in urls for u in batch.column("url").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    canon_docs = rd.read_parquet(web_path, columns=["url", "text"]).map_batches(
+        keep_canonical, batch_format="pyarrow"
+    )
+    spans = duplicate_spans(canon_docs, cfg)
+    n_spans = spans.count()
+    spans_sec = time.time() - t1
+
+    headline_sec = dedup_sec + spans_sec
+
+    # representative operator queries on the driver-provided tables
+    q_times = {"dedup_pipeline": round(dedup_sec, 3), "substring_spans": round(spans_sec, 3)}
+    for name in (
+        "pricing_summary", "segment_revenue", "events_hourly", "token_count_docs",
+        "exact_dedup_docs", "knn_embeddings", "simhash_docs",
+    ):
+        t = time.time()
+        out = QUERIES[name](SF_DIR)
+        if hasattr(out, "count"):
+            out.count()
+        q_times[name] = round(time.time() - t, 3)
+
+    result = {
+        "metric": "webtext dedup wall-clock (3-stage + substring spans)",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline_sec, 1),
+        "n_clusters": n_clusters,
+        "n_spans": n_spans,
+        "n_edges": res.n_edges,
+        "n_canonical": res.n_canonical,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (8 → 32 CPUs, fresh processes, same input)",
+        "sec_8cpu": r_lo["value"],
+        "sec_32cpu": r_hi["value"],
+        "docs_per_sec_8cpu": r_lo["docs_per_sec"],
+        "docs_per_sec_32cpu": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+        "n_docs": r_hi["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -50,6 +50,7 @@ BROADCAST_SIG_LIMIT = 300_000
 class DedupResult:
     fingerprints: "object"   # Dataset (url, fp64, n_bytes)
     clusters: "object"       # Dataset (url, cluster_id, is_canonical)
+    canonical: "object"      # Dataset, one meta row per distinct fp64
     labels: pa.Table         # (fp64, cluster_id) for non-singleton nodes
     n_docs: int
     n_canonical: int
@@ -211,6 +212,7 @@ def run_dedup(
     return DedupResult(
         fingerprints=fingerprints,
         clusters=clusters,
+        canonical=canonical,
         labels=labels,
         n_docs=n_docs,
         n_canonical=n_canonical,

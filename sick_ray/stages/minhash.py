@@ -58,15 +58,16 @@ def tokenize_hashes(texts: list[str], seed: int = 0):
     if total == 0:
         return np.empty(0, dtype=np.uint64), offsets
     payload = "\x00".join(w for toks in tok_lists for w in toks).encode("utf-8")
-    # re-derive per-token byte offsets without per-token python encode calls
-    blens = np.fromiter(
-        (len(w.encode("utf-8")) for toks in tok_lists for w in toks),
-        dtype=np.int64, count=total,
-    )
-    starts = np.zeros(total, dtype=np.int64)
-    np.cumsum(blens[:-1] + 1, out=starts[1:])
     buf = np.frombuffer(payload, dtype=np.uint8)
-    th = xxh64_batch(buf, starts, blens, seed)
+    # per-token byte offsets from the NUL separators (tokens are \w+ runs,
+    # never containing NUL) — no second encode pass over the tokens
+    seps = np.flatnonzero(buf == 0)
+    starts = np.zeros(total, dtype=np.int64)
+    starts[1:] = seps + 1
+    ends = np.empty(total, dtype=np.int64)
+    ends[:-1] = seps
+    ends[-1] = len(buf)
+    th = xxh64_batch(buf, starts, ends - starts, seed)
     return th, offsets
 
 
@@ -120,9 +121,16 @@ def shingle_hashes(token_hashes: np.ndarray, doc_offsets: np.ndarray, k: int):
 
 def minhash_signatures(
     sh: np.ndarray, sh_offsets: np.ndarray, a: np.ndarray, b: np.ndarray,
-    perm_chunk: int = 16,
+    scratch: np.ndarray | None = None,
 ) -> np.ndarray:
-    """(n_docs, num_perm) uint32 signature matrix via chunked reduceat."""
+    """(n_docs, num_perm) uint32 signature matrix.
+
+    One reusable 1-D scratch buffer + in-place ufuncs per permutation:
+    fresh large allocations are avoided deliberately — first-touch page
+    faults dominate the cost of the (T × perms) broadcast formulation in
+    sandboxed/microVM environments (measured ~50× the arithmetic cost).
+    Pass a persistent ``scratch`` (actor state) to amortize across batches.
+    """
     n_docs = len(sh_offsets) - 1
     num_perm = len(a)
     sig = np.full((n_docs, num_perm), _EMPTY_SENTINEL, dtype=np.uint32)
@@ -131,12 +139,17 @@ def minhash_signatures(
     counts = sh_offsets[1:] - sh_offsets[:-1]
     nonempty = np.flatnonzero(counts > 0)
     starts = sh_offsets[nonempty]
-    for c0 in range(0, num_perm, perm_chunk):
-        c1 = min(c0 + perm_chunk, num_perm)
-        # (T, chunk) permuted values, top 32 bits
-        pv = (sh[:, None] * a[None, c0:c1] + b[None, c0:c1]) >> U64(32)
-        mins = np.minimum.reduceat(pv, starts, axis=0)
-        sig[nonempty, c0:c1] = mins.astype(np.uint32)
+    T = len(sh)
+    if scratch is None or len(scratch) < T:
+        scratch = np.empty(T, dtype=np.uint64)
+    buf = scratch[:T]
+    col = np.empty(len(nonempty), dtype=np.uint64)
+    for j in range(num_perm):
+        np.multiply(sh, a[j], out=buf)
+        np.add(buf, b[j], out=buf)
+        np.right_shift(buf, U64(32), out=buf)
+        np.minimum.reduceat(buf, starts, out=col)
+        sig[nonempty, j] = col.astype(np.uint32)
     return sig
 
 
@@ -166,11 +179,14 @@ class MinHasher:
         rng = np.random.default_rng(cfg.seed + 0x5EED5EED)
         self.a = (rng.integers(0, 1 << 63, size=cfg.num_perm, dtype=np.uint64) << U64(1)) | U64(1)
         self.b = rng.integers(0, 1 << 63, size=cfg.num_perm, dtype=np.uint64)
+        self._scratch = np.empty(0, dtype=np.uint64)   # grown lazily, reused
 
     def signatures(self, texts: list[str]) -> np.ndarray:
         th, toff = tokenize_hashes(texts, seed=self.cfg.seed)
         sh, soff = shingle_hashes(th, toff, self.cfg.shingle_k)
-        return minhash_signatures(sh, soff, self.a, self.b)
+        if len(sh) > len(self._scratch):
+            self._scratch = np.empty(int(len(sh) * 1.25), dtype=np.uint64)
+        return minhash_signatures(sh, soff, self.a, self.b, self._scratch)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Append sig + band_hash, drop the wide text/html columns — the

@@ -10,11 +10,11 @@ Two complementary passes:
 
 1. **Partition-local suffix array** (exact, intra-partition): each
    ``map_batches`` batch concatenates its docs' UTF-8 bytes, builds a
-   suffix array by prefix-doubling (NumPy lexsort, O(n log² n)), and marks
+   suffix array by prefix-doubling (NumPy argsort, O(n log² n)), and marks
    positions whose SA-adjacent suffix shares a prefix of ≥ L bytes —
-   checked in O(1) via precomputed polynomial window hashes and confirmed
-   by a direct byte compare (no hash-collision false positives). Runs of
-   duplicated positions merge into maximal spans per doc.
+   checked in O(1) via precomputed 64-bit polynomial window hashes
+   (collision odds ~2⁻⁶⁴ per adjacent pair). Runs of duplicated positions
+   merge into maximal spans per doc, fully vectorized.
 
 2. **Global anchored-fingerprint pass** (cross-partition): alignment-
    independent anchors are chosen by content (winnowing-style: positions
@@ -43,21 +43,27 @@ _QGRAM = 16                       # anchor q-gram width
 
 
 def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array of uint8 array ``s`` by prefix doubling (numpy)."""
+    """Suffix array of uint8 array ``s`` by prefix doubling (numpy).
+
+    Each round sorts one combined int64 key ``rank*(n+1) + rank[i+k]+1``
+    (valid while n < 2^31.5) — a single argsort per round instead of a
+    two-key lexsort, exiting as soon as all ranks are distinct.
+    """
     n = len(s)
     if n == 0:
         return np.empty(0, dtype=np.int64)
     rank = s.astype(np.int64)
     k = 1
+    base = np.int64(n + 1)
     while True:
-        key2 = np.full(n, -1, dtype=np.int64)
+        key2 = np.zeros(n, dtype=np.int64)
         if k < n:
-            key2[:-k] = rank[k:]
-        order = np.lexsort((key2, rank))
-        r1 = rank[order]
-        r2 = key2[order]
+            key2[:-k] = rank[k:] + 1
+        combined = rank * base + key2
+        order = np.argsort(combined)  # ties get identical new ranks; stability unneeded
+        cs = combined[order]
         neq = np.ones(n, dtype=bool)
-        neq[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        neq[1:] = cs[1:] != cs[:-1]
         new = np.empty(n, dtype=np.int64)
         new[order] = np.cumsum(neq) - 1
         rank = new
@@ -143,30 +149,32 @@ def make_sa_span_finder(cfg: DedupConfig):
         p = sa[:-1]
         qq = sa[1:]
         cand = sa_valid[:-1] & sa_valid[1:]
+        # shared-L-prefix check via the 64-bit window hash alone: collision
+        # odds ~2^-64 per adjacent pair — no byte-compare gather (that is a
+        # 256× memory blowup when whole documents are duplicated)
         cand &= H[np.where(cand, p, 0)] == H[np.where(cand, qq, 0)]
         ci = np.flatnonzero(cand)
         if len(ci) == 0:
             return empty
-        # confirm by byte compare (vectorized gather)
-        off = np.arange(L)
-        a = buf[p[ci][:, None] + off]
-        b = buf[qq[ci][:, None] + off]
-        ok = (a == b).all(axis=1)
-        ci = ci[ok]
         # require: different doc, or same doc but >= L apart (true repeat)
         pi, qi = p[ci], qq[ci]
         keep = (doc_of[pi] != doc_of[qi]) | (np.abs(pi - qi) >= L)
         dup_pos = np.unique(np.concatenate([pi[keep], qi[keep]]))
         if len(dup_pos) == 0:
             return empty
-        out_u, out_s, out_e = [], [], []
+        # vectorized per-doc run merge: consecutive duplicated window starts
+        # (gap <= 1) in the same doc collapse to one maximal span
         d_of = doc_of[dup_pos]
-        for d in np.unique(d_of):
-            pos = dup_pos[d_of == d] - starts[d]
-            for s0, e0 in _merge_runs(np.sort(pos), L):
-                out_u.append(urls[int(d)])
-                out_s.append(s0)
-                out_e.append(min(e0, int(ends[d] - starts[d])))
+        new_run = np.ones(len(dup_pos), dtype=bool)
+        new_run[1:] = (np.diff(dup_pos) > 1) | (d_of[1:] != d_of[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.append(run_starts[1:], len(dup_pos)) - 1
+        s_pos = dup_pos[run_starts]
+        e_pos = dup_pos[run_ends] + L
+        docs_idx = d_of[run_starts]
+        out_s = s_pos - starts[docs_idx]
+        out_e = np.minimum(e_pos, ends[docs_idx]) - starts[docs_idx]
+        out_u = [urls[int(d)] for d in docs_idx]
         return pa.table(
             {
                 "url": pa.array(out_u, type=pa.string()),
@@ -305,6 +313,10 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None):
 
     cfg = cfg or DedupConfig()
     docs = docs_ds.select_columns(["url", "text"])
+    # split into many blocks so the CPU-heavy SA tasks actually parallelize
+    # (a single parquet file reads as one block; map_batches parallelism is
+    # per block, not per batch)
+    docs = docs.repartition(max(cfg.num_partitions, 16))
     local = docs.map_batches(
         make_sa_span_finder(cfg), batch_format="pyarrow", batch_size=1024
     )
