@@ -20,6 +20,14 @@ import subprocess
 import sys
 import time
 
+# glibc returns big freed buffers to the OS (mmap/munmap) by default; in this
+# sandboxed kernel the re-faulting of fresh pages costs ~10x the arithmetic of
+# the numpy kernels that allocate them (measured: suffix array 8.4s → 0.9s).
+# Keep freed memory in the heap instead. Set BEFORE ray.init so every worker
+# process inherits it.
+os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -76,15 +84,16 @@ def run_bench() -> dict:
     # stage 3 consumes stage 1's output: spans over exact-deduped canonical
     # docs only (url set broadcast; text re-read from the source, no shuffle)
     t1 = time.time()
-    canon_urls = set(res.canonical.select_columns(["url"]).to_pandas()["url"])
-    urls_ref = ray.put(canon_urls)
+    import pyarrow as pa
+
+    canon_urls = sorted(set(res.canonical.select_columns(["url"]).to_pandas()["url"]))
+    urls_ref = ray.put(pa.array(canon_urls, type=pa.string()))
 
     def keep_canonical(batch):
-        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        urls = ray.get(urls_ref)
-        mask = [u in urls for u in batch.column("url").to_pylist()]
-        return batch.filter(pa.array(mask))
+        mask = pc.is_in(batch.column("url"), value_set=ray.get(urls_ref))
+        return batch.filter(mask)
 
     canon_docs = rd.read_parquet(web_path, columns=["url", "text"]).map_batches(
         keep_canonical, batch_format="pyarrow"

@@ -315,8 +315,10 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None):
     docs = docs_ds.select_columns(["url", "text"])
     # split into many blocks so the CPU-heavy SA tasks actually parallelize
     # (a single parquet file reads as one block; map_batches parallelism is
-    # per block, not per batch)
-    docs = docs.repartition(max(cfg.num_partitions, 16))
+    # per block, not per batch), and materialize ONCE: both the SA pass and
+    # the anchor pass consume this projection — without pinning it the whole
+    # upstream chain would re-execute twice
+    docs = docs.repartition(max(cfg.num_partitions, 16)).materialize()
     local = docs.map_batches(
         make_sa_span_finder(cfg), batch_format="pyarrow", batch_size=1024
     )

@@ -5,6 +5,11 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# keep freed numpy buffers in-heap: page re-faults cost ~10x the compute in
+# this sandbox (see bench.py); workers inherit this at ray.init
+os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+
 
 @pytest.fixture(scope="session")
 def ray_session():
