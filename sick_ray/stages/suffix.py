@@ -19,7 +19,7 @@ Two complementary passes:
 2. **Global anchored-fingerprint pass** (cross-partition): alignment-
    independent anchors are chosen by content (winnowing-style: positions
    where a q-gram rolling hash ≡ 0 mod stride), the L-byte window hash at
-   each anchor is emitted as a narrow ``(whash, url, start)`` row, and a
+   each anchor is emitted as a narrow ``(whash, uhash, start)`` row (24 B), and a
    ``groupby(whash)`` shuffle surfaces windows occurring in ≥2 docs (or
    ≥ L apart in one doc). Because anchors are content-defined, two copies
    of a span share anchors regardless of their byte offsets — this is what
@@ -93,7 +93,7 @@ def window_hashes(s: np.ndarray, L: int) -> np.ndarray:
     return pw[i + L - 1] * (q[i + L] - q[i])
 
 
-def _concat_docs(urls: list[str], texts: list[str]):
+def _concat_docs(texts: list[str]):
     payloads = [t.encode("utf-8") if t else b"" for t in texts]
     lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
     ends = np.cumsum(lens)
@@ -118,19 +118,21 @@ def _merge_runs(positions: np.ndarray, L: int, max_gap: int = 1):
 def make_sa_span_finder(cfg: DedupConfig):
     """map_batches fn: per-partition suffix-array duplicated-span finder.
 
-    Emits (url:string, start:int64, end:int64) byte-offset spans of text
-    duplicated (≥ min_span bytes) elsewhere in the same partition.
+    Emits (uhash:int64, start:int64, end:int64) byte-offset spans of text
+    duplicated (≥ min_span bytes) elsewhere in the same SA batch.
     """
     L = cfg.min_span
 
     def find(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
+        from sick_ray.xxh import xxh64_strings
+
+        uhashes = xxh64_strings(batch.column("url")).view(np.int64)
         texts = batch.column("text").to_pylist()
-        buf, starts, ends = _concat_docs(urls, texts)
+        buf, starts, ends = _concat_docs(texts)
         n = len(buf)
         empty = pa.table(
             {
-                "url": pa.array([], type=pa.string()),
+                "uhash": pa.array([], type=pa.int64()),
                 "start": pa.array([], type=pa.int64()),
                 "end": pa.array([], type=pa.int64()),
             }
@@ -174,10 +176,9 @@ def make_sa_span_finder(cfg: DedupConfig):
         docs_idx = d_of[run_starts]
         out_s = s_pos - starts[docs_idx]
         out_e = np.minimum(e_pos, ends[docs_idx]) - starts[docs_idx]
-        out_u = [urls[int(d)] for d in docs_idx]
         return pa.table(
             {
-                "url": pa.array(out_u, type=pa.string()),
+                "uhash": pa.array(uhashes[docs_idx], type=pa.int64()),
                 "start": pa.array(out_s, type=pa.int64()),
                 "end": pa.array(out_e, type=pa.int64()),
             }
@@ -194,16 +195,22 @@ def _global_window(cfg: DedupConfig) -> int:
 
 
 def make_anchor_emitter(cfg: DedupConfig):
-    """map_batches fn: emit (whash:int64, url, start:int64) rows at
-    content-defined anchor positions (winnowing-style)."""
+    """map_batches fn: emit (whash:int64, uhash:int64, start:int64) rows at
+    content-defined anchor positions (winnowing-style).
+
+    Rows carry the xxh64 of the url, not the url string — the whash shuffle
+    then moves 24 B/row instead of ~60 B; urls are re-attached to the final
+    (small) merged-span table from a broadcast uhash→url map."""
+    from sick_ray.xxh import xxh64_strings
+
     L = _global_window(cfg)
     stride = cfg.span_stride
 
     def emit(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
+        uhashes = xxh64_strings(batch.column("url")).view(np.int64)
         texts = batch.column("text").to_pylist()
         out_h, out_u, out_s = [], [], []
-        for url, t in zip(urls, texts):
+        for uh, t in zip(uhashes, texts):
             b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
             if len(b) < L:
                 continue
@@ -214,20 +221,20 @@ def make_anchor_emitter(cfg: DedupConfig):
                 continue
             wh = window_hashes(b, L)
             out_h.append(wh[anchors].view(np.int64))
-            out_u.extend([url] * len(anchors))
+            out_u.append(np.full(len(anchors), uh, dtype=np.int64))
             out_s.append(anchors)
         if not out_h:
             return pa.table(
                 {
                     "whash": pa.array([], type=pa.int64()),
-                    "url": pa.array([], type=pa.string()),
+                    "uhash": pa.array([], type=pa.int64()),
                     "start": pa.array([], type=pa.int64()),
                 }
             )
         return pa.table(
             {
                 "whash": pa.array(np.concatenate(out_h), type=pa.int64()),
-                "url": pa.array(out_u, type=pa.string()),
+                "uhash": pa.array(np.concatenate(out_u), type=pa.int64()),
                 "start": pa.array(np.concatenate(out_s), type=pa.int64()),
             }
         )
@@ -238,24 +245,23 @@ def make_anchor_emitter(cfg: DedupConfig):
 def make_anchor_survivors(cfg: DedupConfig):
     """Per-partition vectorized filter over ALL whash groups at once: keep
     anchor rows whose window occurs in ≥2 docs (or ≥W apart in one doc) —
-    each survivor is a duplicated span seed."""
+    each survivor is a duplicated span seed (uhash, start)."""
     from sick_ray.shuffle import first_mask, sort_index
-    from sick_ray.xxh import xxh64_strings
 
     W = _global_window(cfg)
 
     def survivors(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
-            return part.select(["url", "start"])
+            return part.select(["uhash", "start"])
         wh = part.column("whash").to_numpy(zero_copy_only=False)
         st = part.column("start").to_numpy(zero_copy_only=False)
-        uh = xxh64_strings(part.column("url")).view(np.int64)
+        uh = part.column("uhash").to_numpy(zero_copy_only=False)
         order = sort_index(wh, uh, st)
         w_s, u_s, s_s = wh[order], uh[order], st[order]
         fm = first_mask(w_s)
         gid = np.cumsum(fm) - 1
         starts = np.flatnonzero(fm)
-        # per-group: #distinct urls, start spread
+        # per-group: #distinct docs, start spread
         url_chg = np.zeros(len(w_s), dtype=np.int64)
         url_chg[1:] = (u_s[1:] != u_s[:-1]) & ~fm[1:]
         n_urls = np.add.reduceat(url_chg, starts) + 1
@@ -264,19 +270,18 @@ def make_anchor_survivors(cfg: DedupConfig):
         keep_grp = (n_urls >= 2) | (smax - smin >= W)
         keep = keep_grp[gid]
         idx = order[keep]
-        return part.take(pa.array(np.sort(idx))).select(["url", "start"])
+        return part.take(pa.array(np.sort(idx))).select(["uhash", "start"])
 
     return survivors
 
 
 def _merge_url_spans_partition(part: pa.Table) -> pa.Table:
-    """Vectorized overlapping-interval merge for ALL urls in a partition."""
+    """Vectorized overlapping-interval merge for ALL docs in a partition."""
     from sick_ray.shuffle import first_mask, sort_index
-    from sick_ray.xxh import xxh64_strings
 
     if part.num_rows == 0:
         return part
-    uh = xxh64_strings(part.column("url")).view(np.int64)
+    uh = part.column("uhash").to_numpy(zero_copy_only=False)
     s = part.column("start").to_numpy(zero_copy_only=False)
     e = part.column("end").to_numpy(zero_copy_only=False)
     order = sort_index(uh, s, e)
@@ -291,36 +296,46 @@ def _merge_url_spans_partition(part: pa.Table) -> pa.Table:
     prev_end[0] = np.iinfo(np.int64).min
     prev_end[1:] = cummax[:-1]
     new_span = fm | ((s_s + base) > prev_end)
-    sid = np.cumsum(new_span) - 1
     span_starts = np.flatnonzero(new_span)
     out_s = s_s[span_starts]
     out_e = np.maximum.reduceat(e_s, span_starts)
-    url_arr = part.column("url").take(pa.array(order[span_starts]))
     return pa.table(
         {
-            "url": url_arr,
+            "uhash": pa.array(u_s[span_starts], type=pa.int64()),
             "start": pa.array(out_s, type=pa.int64()),
             "end": pa.array(out_e, type=pa.int64()),
         }
     )
 
 
+# SA working set per call: keep small — the doubling sort's cache behavior is
+# strongly superlinear (measured 0.8 MB → 0.9 s but 2.6 MB → 6 s, and 4× worse
+# again under full-node concurrency). Many small SAs beat few big ones; the
+# global anchored pass has corpus-wide scope regardless of this batch size.
+SA_BATCH_DOCS = 256
+
+# above this many docs the uhash→url re-attach switches from a driver
+# broadcast map to a distributed hash join
+BROADCAST_URLMAP_LIMIT = 2_000_000
+
+
 def duplicate_spans(docs_ds, cfg: DedupConfig | None = None):
     """Dataset (url, text, ...) → Dataset (url, start, end) of duplicated
-    spans ≥ cfg.min_span bytes. Combines the partition-local suffix-array
-    pass and the global anchored groupby pass, then merges overlaps."""
+    spans ≥ cfg.min_span bytes. Partition-local suffix arrays + the global
+    anchored groupby, merged per doc; spans travel as narrow (uhash,
+    start, end) rows and urls are re-attached only to the final table."""
+    import ray
+
     from sick_ray.shuffle import grouped_apply
 
     cfg = cfg or DedupConfig()
     docs = docs_ds.select_columns(["url", "text"])
-    # split into many blocks so the CPU-heavy SA tasks actually parallelize
-    # (a single parquet file reads as one block; map_batches parallelism is
-    # per block, not per batch), and materialize ONCE: both the SA pass and
-    # the anchor pass consume this projection — without pinning it the whole
-    # upstream chain would re-execute twice
-    docs = docs.repartition(max(cfg.num_partitions, 16)).materialize()
-    local = docs.map_batches(
-        make_sa_span_finder(cfg), batch_format="pyarrow", batch_size=1024
+    # two consumers each re-execute the (cheap) upstream projection; the SA
+    # consumer splits blocks so its CPU-heavy tasks parallelize across the
+    # node (a single parquet file reads as ONE block otherwise)
+    sa_docs = docs.repartition(max(cfg.num_partitions, 16))
+    local = sa_docs.map_batches(
+        make_sa_span_finder(cfg), batch_format="pyarrow", batch_size=SA_BATCH_DOCS
     )
     anchors = docs.map_batches(make_anchor_emitter(cfg), batch_format="pyarrow")
     seeds = grouped_apply(
@@ -330,7 +345,7 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None):
     def seed_to_span(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "url": batch.column("url"),
+                "uhash": batch.column("uhash"),
                 "start": batch.column("start"),
                 "end": pa.array(
                     batch.column("start").to_numpy(zero_copy_only=False)
@@ -342,6 +357,37 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None):
 
     global_spans = seeds.map_batches(seed_to_span, batch_format="pyarrow")
     all_spans = local.union(global_spans)
-    return grouped_apply(
-        all_spans, ["url"], _merge_url_spans_partition, num_partitions=cfg.num_partitions
+    merged = grouped_apply(
+        all_spans, ["uhash"], _merge_url_spans_partition, num_partitions=cfg.num_partitions
     )
+
+    # re-attach urls to the final (small) span table
+    def url_pairs(batch: pa.Table) -> pa.Table:
+        from sick_ray.xxh import xxh64_strings
+
+        uh = xxh64_strings(batch.column("url")).view(np.int64)
+        return pa.table({"uhash": pa.array(uh, type=pa.int64()), "url": batch.column("url")})
+
+    url_map_ds = docs.select_columns(["url"]).map_batches(url_pairs, batch_format="pyarrow")
+    n_docs = docs_ds.count() if hasattr(docs_ds, "count") else None
+    if n_docs is not None and n_docs > BROADCAST_URLMAP_LIMIT:
+        return merged.join(
+            url_map_ds, join_type="inner", num_partitions=cfg.num_partitions,
+            on=("uhash",), right_on=("uhash",),
+        ).select_columns(["url", "start", "end"])
+    pairs = url_map_ds.to_pandas()
+    ref = ray.put(dict(zip(pairs["uhash"], pairs["url"])))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        uh = batch.column("uhash").to_numpy(zero_copy_only=False)
+        urls = [m[int(x)] for x in uh]
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "start": batch.column("start"),
+                "end": batch.column("end"),
+            }
+        )
+
+    return merged.map_batches(attach, batch_format="pyarrow")
