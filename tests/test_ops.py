@@ -1,0 +1,155 @@
+"""Operator-level tests: simhash, ANN (brute + LSH recall), multimodal
+plumbing, text functions, winnowing fingerprints."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_simhash_tracks_similarity():
+    from sick_ray.functions.simhash import simhash_batch
+
+    base = " ".join(f"w{i}" for i in range(300))
+    near = " ".join(f"w{i}" for i in range(299)) + " zzz"
+    far = " ".join(f"q{i}" for i in range(300))
+    s = simhash_batch([base, near, far])
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(s[0], s[1]) <= 6
+    assert ham(s[0], s[2]) >= 20
+    # determinism
+    s2 = simhash_batch([base, near, far])
+    assert (s == s2).all()
+
+
+def test_simhash_edges_pipeline(ray_session):
+    import ray.data as rd
+
+    from sick_ray.config import DedupConfig
+    from sick_ray.functions.simhash import add_simhash, simhash_edges
+
+    texts = []
+    for g in range(20):
+        base = " ".join(f"g{g}w{i}" for i in range(200))
+        texts.append(base)
+        texts.append(base.replace(f"g{g}w5 ", f"g{g}x5 "))   # near-dup pair
+    tbl = pa.table({"fp64": pa.array(np.arange(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).map_batches(add_simhash, batch_format="pyarrow")
+    edges = simhash_edges(ds, DedupConfig(num_partitions=4), max_hamming=6).to_pandas()
+    pairs = {tuple(sorted((u, v))) for u, v in zip(edges["u"], edges["v"])}
+    want = {(2 * g, 2 * g + 1) for g in range(20)}
+    found = len(want & pairs)
+    assert found >= 18, f"simhash found {found}/20 planted pairs"
+
+
+def _planted_embeddings(n=400, dim=32, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    q = m[7] + 0.01 * rng.standard_normal(dim)   # query ~ vector 7
+    return m, q
+
+
+def test_knn_bruteforce_exact(ray_session):
+    import ray.data as rd
+
+    from sick_ray.stages.ann import knn_bruteforce
+
+    m, q = _planted_embeddings()
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(m)), type=pa.int64()),
+        "embedding": pa.array(list(m.astype(np.float32))),
+    })
+    out = knn_bruteforce(rd.from_arrow(tbl), q, k=5).to_pandas()
+    assert out.iloc[0]["vec_id"] == 7
+    # matches a numpy oracle exactly
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    cos = mn @ qn
+    want = np.argsort(-cos)[:5]
+    assert list(out["vec_id"]) == list(want)
+
+
+def test_knn_lsh_recall(ray_session):
+    """Clustered embeddings (the realistic regime): query near a cluster
+    center; its members are the true top-k and collide with the query in
+    the hyperplane buckets with high probability."""
+    import ray.data as rd
+
+    from sick_ray.config import AnnConfig
+    from sick_ray.stages.ann import knn_bruteforce, knn_lsh
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((50, 32)) * 3
+    m = np.vstack([c + 0.3 * rng.standard_normal((10, 32)) for c in centers])
+    q = centers[11] + 0.1 * rng.standard_normal(32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(m)), type=pa.int64()),
+        "embedding": pa.array(list(m.astype(np.float32))),
+    })
+    ds = rd.from_arrow(tbl)
+    exact = set(knn_bruteforce(ds, q, k=10).to_pandas()["vec_id"])
+    approx = set(
+        knn_lsh(ds, q, k=10, cfg=AnnConfig(n_planes=8, n_tables=16)).to_pandas()["vec_id"]
+    )
+    recall = len(exact & approx) / 10
+    assert recall >= 0.8, f"LSH knn recall {recall}"
+
+
+def test_multimodal_decode_plumbing(ray_session):
+    import ray.data as rd
+
+    from sick_ray.stages.multimodal import FakeImageDecoder, decode_images, synth_media
+
+    media = synth_media(50, seed=7)
+    out = decode_images(rd.from_arrow(media), concurrency=2, batch_size=16).to_pandas()
+    assert len(out) == 50
+    assert "payload" not in out.columns            # wide column dropped
+    assert set(["media_id", "thumb", "pix_mean", "pix_std"]) <= set(out.columns)
+    # deterministic across runs
+    out2 = decode_images(rd.from_arrow(media), concurrency=1, batch_size=50).to_pandas()
+    a = out.sort_values("media_id")["pix_mean"].to_numpy()
+    b = out2.sort_values("media_id")["pix_mean"].to_numpy()
+    assert (a == b).all()
+    # strict mode models the missing-codec path
+    dec = FakeImageDecoder(strict=True)
+    with pytest.raises(NotImplementedError):
+        dec._decode(b"xx")
+
+
+def test_frame_sampler(ray_session):
+    import ray.data as rd
+
+    from sick_ray.stages.multimodal import FrameSampler, synth_media
+
+    media = synth_media(10, seed=7)
+    frames = (
+        rd.from_arrow(media)
+        .map_batches(FrameSampler, fn_constructor_args=(4,), batch_format="pyarrow",
+                     concurrency=1, batch_size=5)
+        .to_pandas()
+    )
+    assert len(frames) == 40
+    assert frames.groupby("media_id")["frame"].nunique().eq(4).all()
+
+
+def test_lang_id_accuracy():
+    from sick_ray.functions.text import LangId
+
+    li = LangId()
+    assert li.classify("the cat sat on the mat and it was a good day for all") == "en"
+    assert li.classify("der hund ist mit der katze auf ein haus und nicht allein") == "de"
+    assert li.classify("le chat est dans la maison avec le chien et pas seul") == "fr"
+    assert li.classify("这是一个中文句子 测试语言识别") == "zh"
+    assert li.classify("") == "und"
+
+
+def test_winnow_fingerprint_robust_to_local_edit():
+    from sick_ray.functions.text import add_winnow_fingerprint
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    edited = base.replace("tok200", "EDITED")
+    tbl = pa.table({"text": pa.array([base, edited])})
+    out = add_winnow_fingerprint(tbl)
+    fp = out.column("winnow_fp").to_pylist()
+    shared = len(set(fp[0]) & set(fp[1]))
+    assert shared >= 4, f"winnow fps share only {shared}/8 mins"
