@@ -43,32 +43,56 @@ _QGRAM = 16                       # anchor q-gram width
 
 
 def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array of uint8 array ``s`` by prefix doubling (numpy).
+    """Suffix array of uint8 array ``s`` by sparse prefix doubling (numpy).
 
-    Each round sorts one combined int64 key ``rank*(n+1) + rank[i+k]+1``
-    (valid while n < 2^31.5) — a single argsort per round instead of a
-    two-key lexsort, exiting as soon as all ranks are distinct.
+    Rank convention: ``rank[i]`` = SA slot of the first member of suffix
+    i's equivalence class. After the initial byte sort, every doubling
+    round touches ONLY suffixes whose class still has ≥2 members — for
+    web text most suffixes become unique within a few rounds, so per-round
+    memory traffic collapses (this kernel is bandwidth-bound; see
+    SA_BATCH_DOCS). Sorting the tied subset globally by
+    ``rank*(n+1) + rank[i+k]+1`` is safe because rank dominates the key:
+    each tied run re-sorts in place within its own SA slot range.
     """
     n = len(s)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    rank = s.astype(np.int64)
-    k = 1
     base = np.int64(n + 1)
+    sa = np.argsort(s)
+    sv = s[sa].astype(np.int64)
+    new_cls = np.ones(n, dtype=bool)
+    new_cls[1:] = sv[1:] != sv[:-1]
+    slot = np.arange(n)
+    # rank[i] = first slot of i's class
+    first_slot = slot[new_cls][np.cumsum(new_cls) - 1]
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = first_slot
+    k = 1
     while True:
-        key2 = np.zeros(n, dtype=np.int64)
-        if k < n:
-            key2[:-k] = rank[k:] + 1
-        combined = rank * base + key2
-        order = np.argsort(combined)  # ties get identical new ranks; stability unneeded
+        # tied slots: classes of size >= 2
+        r_sa = rank[sa]
+        cls_first = np.ones(n, dtype=bool)
+        cls_first[1:] = r_sa[1:] != r_sa[:-1]
+        cls_size = np.diff(np.append(np.flatnonzero(cls_first), n))
+        tied_cls = cls_size >= 2
+        if not tied_cls.any():
+            return sa
+        tied_rows = np.repeat(tied_cls, cls_size)          # mask over slots
+        tslots = np.flatnonzero(tied_rows)
+        idx = sa[tslots]                                    # suffix positions
+        key2 = np.zeros(len(idx), dtype=np.int64)
+        m = idx + k < n
+        key2[m] = rank[idx[m] + k] + 1
+        combined = rank[idx] * base + key2
+        order = np.argsort(combined, kind="stable")
+        idx_s = idx[order]
         cs = combined[order]
-        neq = np.ones(n, dtype=bool)
-        neq[1:] = cs[1:] != cs[:-1]
-        new = np.empty(n, dtype=np.int64)
-        new[order] = np.cumsum(neq) - 1
-        rank = new
-        if rank[order[-1]] == n - 1:
-            return order
+        sa[tslots] = idx_s
+        # new class firsts among the re-sorted tied slots
+        nf = np.ones(len(cs), dtype=bool)
+        nf[1:] = cs[1:] != cs[:-1]
+        first_of = tslots[nf][np.cumsum(nf) - 1]            # new first slot per row
+        rank[idx_s] = first_of
         k <<= 1
 
 
