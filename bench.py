@@ -117,7 +117,7 @@ def run_bench() -> dict:
     canon_docs = rd.read_parquet(web_path, columns=["url", "text"]).map_batches(
         keep_canonical, batch_format="pyarrow"
     )
-    spans = duplicate_spans(canon_docs, cfg)
+    spans = duplicate_spans(canon_docs, cfg, n_docs_hint=len(canon_urls), url_list=canon_urls)
     n_spans = spans.count()
     spans_sec = time.time() - t1
 

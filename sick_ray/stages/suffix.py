@@ -343,11 +343,19 @@ SA_BATCH_DOCS = 256
 BROADCAST_URLMAP_LIMIT = 2_000_000
 
 
-def duplicate_spans(docs_ds, cfg: DedupConfig | None = None):
+def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
+                    n_docs_hint: int | None = None,
+                    url_list: list[str] | None = None):
     """Dataset (url, text, ...) → Dataset (url, start, end) of duplicated
     spans ≥ cfg.min_span bytes. Partition-local suffix arrays + the global
     anchored groupby, merged per doc; spans travel as narrow (uhash,
-    start, end) rows and urls are re-attached only to the final table."""
+    start, end) rows and urls are re-attached only to the final table.
+
+    ``n_docs_hint``: corpus size if known — above BROADCAST_URLMAP_LIMIT
+    the url re-attach uses a distributed join instead of a driver
+    broadcast (no extra counting pass either way). ``url_list``: if the
+    caller already holds the url universe, pass it to skip the url-map
+    collection pass entirely."""
     import ray
 
     from sick_ray.shuffle import grouped_apply
@@ -381,8 +389,12 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None):
 
     global_spans = seeds.map_batches(seed_to_span, batch_format="pyarrow")
     all_spans = local.union(global_spans)
+    # map-side partial merge: overlapping seed windows of one doc collapse
+    # inside each batch BEFORE the shuffle (idempotent — same fn reduces the
+    # partition), cutting the shuffled row count by ~an order of magnitude
     merged = grouped_apply(
-        all_spans, ["uhash"], _merge_url_spans_partition, num_partitions=cfg.num_partitions
+        all_spans, ["uhash"], _merge_url_spans_partition,
+        num_partitions=cfg.num_partitions, partial=_merge_url_spans_partition,
     )
 
     # re-attach urls to the final (small) span table
@@ -392,15 +404,22 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None):
         uh = xxh64_strings(batch.column("url")).view(np.int64)
         return pa.table({"uhash": pa.array(uh, type=pa.int64()), "url": batch.column("url")})
 
-    url_map_ds = docs.select_columns(["url"]).map_batches(url_pairs, batch_format="pyarrow")
-    n_docs = docs_ds.count() if hasattr(docs_ds, "count") else None
-    if n_docs is not None and n_docs > BROADCAST_URLMAP_LIMIT:
-        return merged.join(
-            url_map_ds, join_type="inner", num_partitions=cfg.num_partitions,
-            on=("uhash",), right_on=("uhash",),
-        ).select_columns(["url", "start", "end"])
-    pairs = url_map_ds.to_pandas()
-    ref = ray.put(dict(zip(pairs["uhash"], pairs["url"])))
+    if url_list is not None and len(url_list) <= BROADCAST_URLMAP_LIMIT:
+        from sick_ray.xxh import xxh64_strings
+
+        uh = xxh64_strings(list(url_list)).view(np.int64)
+        ref = ray.put(dict(zip(uh.tolist(), url_list)))
+    else:
+        url_map_ds = docs.select_columns(["url"]).map_batches(
+            url_pairs, batch_format="pyarrow"
+        )
+        if n_docs_hint is not None and n_docs_hint > BROADCAST_URLMAP_LIMIT:
+            return merged.join(
+                url_map_ds, join_type="inner", num_partitions=cfg.num_partitions,
+                on=("uhash",), right_on=("uhash",),
+            ).select_columns(["url", "start", "end"])
+        pairs = url_map_ds.to_pandas()
+        ref = ray.put(dict(zip(pairs["uhash"], pairs["url"])))
 
     def attach(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)
