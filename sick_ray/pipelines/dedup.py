@@ -219,3 +219,40 @@ def run_dedup(
         n_edges=n_edges,
         runner_log=runner.log,
     )
+
+
+def write_deduped_corpus(input_ds, clusters_ds, out_dir: str):
+    """Emit the deduplicated corpus: the cluster-canonical row per cluster,
+    with ``text`` passed through byte-identically — the engine's analogue
+    of the reference's ``reconstruct`` (refs → JSON round-trip,
+    json-sick-scala ``sickcirce/CirceTraverser.scala:16-58``): derived
+    state maps back to the original payload without re-encoding.
+
+    ``input_ds``: the original webtext Dataset/path; ``clusters_ds``: the
+    pipeline's clusters output. The canonical url set is broadcast
+    (ray.put) and applied as a vectorized filter — no shuffle of text.
+    Returns (n_kept, out_dir).
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    if isinstance(input_ds, str):
+        input_ds = rd.read_parquet(input_ds)
+    keep_urls = (
+        clusters_ds.map_batches(
+            lambda b: b.filter(pc.equal(b.column("is_canonical"), True)).select(["url"]),
+            batch_format="pyarrow",
+        ).to_pandas()["url"]
+    )
+    ref = ray.put(pa.array(sorted(keep_urls), type=pa.string()))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("url"), value_set=ray.get(ref)))
+
+    kept = input_ds.map_batches(flt, batch_format="pyarrow")
+    kept.write_parquet(out_dir)
+    from sick_ray.state.manifest import commit_manifest
+
+    man = commit_manifest(out_dir, "deduped_corpus", "reconstruct")
+    return man["total_rows"], out_dir

@@ -484,6 +484,146 @@ def q_media_decode(sf_dir: str):
     )
 
 
+def q_lineitem_stats(sf_dir: str):
+    """Global min/max/count + rounded sum — cursor-style numeric widening
+    parity (reference ``eba/cursor/SickCursor.scala:28-125``)."""
+    li = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "min_qty": pa.array([float(q.min())]),
+                "max_qty": pa.array([float(q.max())]),
+                "sum_price": pa.array([float(p.sum())]),
+                "n_rows": pa.array([len(q)], type=pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = pd.DataFrame(
+        {
+            "min_qty": [parts["min_qty"].min()],
+            "max_qty": [parts["max_qty"].max()],
+            "sum_price": [round(parts["sum_price"].sum(), 2)],
+            "n_rows": [int(parts["n_rows"].sum())],
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_LINEITEM_STATS = """
+SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+"""
+
+
+def q_orders_by_priority(sf_dir: str):
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
+
+    parts = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(n=("n", "sum"))
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_ORDERS_BY_PRIORITY = """
+SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+def q_embedding_first_last(sf_dir: str):
+    """Indexed array-element access incl. negative index — the analogue of
+    the reference's ``readArrayElementRef`` with ``[-1]`` support
+    (``IncrementalEBAReader.scala:199-209``)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        offs = np.asarray(col.offsets)
+        first = flat[offs[:-1]]
+        last = flat[offs[1:] - 1]
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "first_el": pa.array(np.round(first.astype(np.float64), 4)),
+                "last_el": pa.array(np.round(last.astype(np.float64), 4)),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_FIRST_LAST = """
+SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 4) AS first_el,
+       round(CAST(embedding[-1] AS DOUBLE), 4) AS last_el
+FROM embeddings
+"""
+
+
+def q_ngram_exact_pairs(sf_dir: str):
+    """Near-dup candidate edges verified by EXACT n-gram Jaccard ≥ 0.5
+    (the precision-mode alternative to signature verification): extract →
+    minhash → LSH candidates → exact shingle-set verify."""
+    import ray
+
+    from sick_ray.extract import extract_batch
+    from sick_ray.functions.ngram import make_exact_verifier
+    from sick_ray.stages.exact import add_fingerprints, exact_dedup
+    from sick_ray.stages.lsh import candidate_edges, distinct_edges
+    from sick_ray.stages.minhash import MinHasher
+
+    web = _docs_as_webtext(sf_dir)
+    meta_full = web.map_batches(extract_batch, batch_format="pyarrow").map_batches(
+        add_fingerprints, batch_format="pyarrow"
+    )
+    texts = meta_full.select_columns(["fp64", "text"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(texts["fp64"], texts["text"].fillna(""))))
+    meta = meta_full.map_batches(
+        MinHasher, fn_constructor_args=(QCFG,), batch_format="pyarrow",
+        batch_size=QCFG.batch_size, concurrency=(1, 2),
+    ).materialize()
+    canonical = exact_dedup(meta, QCFG).materialize()
+    edges = distinct_edges(
+        candidate_edges(canonical.select_columns(["fp64", "band_hash"]), QCFG), QCFG
+    )
+    return edges.map_batches(
+        make_exact_verifier(QCFG, lookup_ref, 0.5), batch_format="pyarrow"
+    )
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup edges over the embeddings table."""
+    from sick_ray.config import AnnConfig
+    from sick_ray.stages.ann import embedding_near_dup_edges
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup_edges(
+        ds, threshold=0.3, cfg=AnnConfig(n_planes=4, n_tables=16), num_partitions=8
+    )
+
+
+def q_winnow_fp_docs(sf_dir: str):
+    from sick_ray.functions.text import add_winnow_fingerprint
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(add_winnow_fingerprint, batch_format="pyarrow").select_columns(
+        ["doc_id", "winnow_fp"]
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dup_group_stats": q_dup_group_stats,
@@ -505,6 +645,12 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "knn_lsh_embeddings": q_knn_lsh_embeddings,
     "media_decode": q_media_decode,
+    "lineitem_stats": q_lineitem_stats,
+    "orders_by_priority": q_orders_by_priority,
+    "embedding_first_last": q_embedding_first_last,
+    "ngram_exact_pairs": q_ngram_exact_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "winnow_fp_docs": q_winnow_fp_docs,
 }
 
 ORACLES = {
@@ -521,6 +667,9 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "props_path": SQL_PROPS_PATH,
     "knn_embeddings": SQL_KNN_EMBEDDINGS,
+    "lineitem_stats": SQL_LINEITEM_STATS,
+    "orders_by_priority": SQL_ORDERS_BY_PRIORITY,
+    "embedding_first_last": SQL_EMBEDDING_FIRST_LAST,
     # dedup_clusters_docs / doc_spans / simhash_docs / lang_id_docs /
     # quality_docs / knn_lsh_embeddings / media_decode: not SQL-expressible
     # (stateful hashing / heuristic scoring / LSH) → rows-only checks.

@@ -103,6 +103,79 @@ class HyperplaneHasher:
         return keys
 
 
+def embedding_near_dup_edges(emb_ds, threshold: float = 0.95,
+                             cfg: AnnConfig | None = None,
+                             id_col: str = "vec_id", emb_col: str = "embedding",
+                             num_partitions: int = 32):
+    """Embedding-cosine near-duplicate candidate edges (u, v, cosine).
+
+    Hyperplane-LSH bucket shuffle (same family as knn_lsh) → per-partition
+    star candidates per bucket → exact cosine verify ≥ threshold. The
+    embedding payload rides the bucket rows once per table; for very wide
+    embeddings lower cfg.n_tables or pre-reduce dimensionality upstream.
+    """
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity with callers)
+
+    from sick_ray.shuffle import first_mask, grouped_apply, sort_index
+
+    cfg = cfg or AnnConfig()
+    state = {}
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch.column(emb_col)))
+        if "h" not in state:
+            state["h"] = HyperplaneHasher(m.shape[1], cfg)
+        keys = state["h"].bucket_keys(m)                     # (n, T)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n, T = keys.shape
+        emb_fixed = np.ascontiguousarray(m, dtype=np.float32)
+        dim = emb_fixed.shape[1]
+        reps = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(emb_fixed, (T, 1)).reshape(-1), type=pa.float32()), dim
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(keys.T.reshape(-1), type=pa.int64()),
+                "id": pa.array(np.tile(ids, T), type=pa.int64()),
+                "emb": reps,
+            }
+        )
+
+    def emit(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
+        bkt = part.column("bkt").to_numpy(zero_copy_only=False)
+        ids = part.column("id").to_numpy(zero_copy_only=False)
+        emb_col_ = part.column("emb")
+        if isinstance(emb_col_, pa.ChunkedArray):
+            emb_col_ = emb_col_.combine_chunks()
+        dim = emb_col_.type.list_size
+        m = emb_col_.flatten().to_numpy(zero_copy_only=False).reshape(len(part), dim)
+        order = sort_index(bkt, ids)
+        bk, idn = bkt[order], ids[order]
+        fm = first_mask(bk)
+        gid = np.cumsum(fm) - 1
+        firsts = np.flatnonzero(fm)
+        cand = ~fm
+        ui = order[firsts[gid[cand]]]
+        vi = order[cand]
+        cos = np.einsum("ij,ij->i", m[ui].astype(np.float64), m[vi].astype(np.float64))
+        keep = (cos >= threshold) & (ids[ui] != ids[vi])
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(ids[ui][keep], ids[vi][keep]), type=pa.int64()),
+                "v": pa.array(np.maximum(ids[ui][keep], ids[vi][keep]), type=pa.int64()),
+                "cosine": pa.array(np.round(cos[keep], 6), type=pa.float64()),
+            }
+        )
+
+    rows = emb_ds.map_batches(bucket_rows, batch_format="pyarrow")
+    return grouped_apply(rows, ["bkt"], emit, num_partitions=num_partitions)
+
+
 def knn_lsh(emb_ds, queries: np.ndarray, k: int = 10, cfg: AnnConfig | None = None,
             id_col: str = "vec_id", emb_col: str = "embedding"):
     """Approximate cosine top-k: score only vectors sharing ≥1 hyperplane-LSH
