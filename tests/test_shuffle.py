@@ -1,0 +1,62 @@
+"""Unit tests for the two-phase shuffle helpers + property tests."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sick_ray.shuffle import combine_keys, first_mask, group_ids, mix64, sort_index
+
+
+def test_first_mask_and_group_ids():
+    ks = np.array([1, 1, 2, 2, 2, 5])
+    fm = first_mask(ks)
+    assert fm.tolist() == [True, False, True, False, False, True]
+    assert group_ids(ks).tolist() == [0, 0, 1, 1, 1, 2]
+
+
+def test_sort_index_msb_first():
+    a = np.array([2, 1, 1, 2])
+    b = np.array([0, 9, 1, 3])
+    order = sort_index(a, b)
+    assert [(a[i], b[i]) for i in order] == [(1, 1), (1, 9), (2, 0), (2, 3)]
+
+
+def test_mix64_uniformity_rough():
+    x = mix64(np.arange(100_000, dtype=np.uint64))
+    parts = (x % np.uint64(64)).astype(np.int64)
+    counts = np.bincount(parts, minlength=64)
+    assert counts.min() > 100_000 / 64 * 0.9  # sequential keys spread evenly
+
+
+def test_combine_keys_strings_and_ints():
+    t = pa.table({"a": [1, 1, 2], "b": ["x", "y", "x"]})
+    k = combine_keys(t, ["a", "b"])
+    assert k[0] != k[1] and k[0] != k[2] and k[1] != k[2]
+    k2 = combine_keys(t, ["a", "b"])
+    assert (k == k2).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=30),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_xxh_batch_property(payloads, seed):
+    from sick_ray.xxh import xxh64, xxh64_batch
+
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    lens = np.array([len(p) for p in payloads], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    got = xxh64_batch(buf, offs, lens, seed)
+    want = [xxh64(p, seed) for p in payloads]
+    assert got.tolist() == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_suffix_array_property(data):
+    from sick_ray.stages.suffix import suffix_array
+
+    s = np.frombuffer(data, dtype=np.uint8)
+    sa = suffix_array(s)
+    want = sorted(range(len(data)), key=lambda i: data[i:])
+    assert sa.tolist() == want
