@@ -341,6 +341,51 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_user_sessions(sf_dir: str):
+    """Sessionization (streaming-shaped op over the ordered log): a new
+    session starts after a >30 min gap per user. Hash-partitioned by
+    user_id; per-partition fully vectorized (sort + diff), the ray_guide
+    'groupby(key) + windowing over the sorted group' pattern."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], type=pa.int64()),
+                 "n_sessions": pa.array([], type=pa.int64())}
+            )
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        order = sort_index(uid, ts)
+        u_s, t_s = uid[order], ts[order]
+        fm = first_mask(u_s)
+        new_sess = fm.copy()
+        new_sess[1:] |= (t_s[1:] - t_s[:-1]) > GAP_US
+        starts = np.flatnonzero(fm)
+        n_sessions = np.add.reduceat(new_sess.astype(np.int64), starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[fm], type=pa.int64()),
+                "n_sessions": pa.array(n_sessions, type=pa.int64()),
+            }
+        )
+
+    return grouped_apply(ev, ["user_id"], sessions, num_partitions=QCFG.num_partitions)
+
+
+SQL_USER_SESSIONS = """
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+) GROUP BY user_id
+"""
+
+
 def q_props_path(sf_dir: str):
     """Path query over a JSON column — the engine analogue of the
     reference's dotted-path cursor query (``SickReader.Query.cs:11-42``,
@@ -636,6 +681,7 @@ QUERIES = {
     "region_nations": q_region_nations,
     "distinct_segments": q_distinct_segments,
     "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
     "props_path": q_props_path,
     "knn_embeddings": q_knn_embeddings,
     "dedup_clusters_docs": q_dedup_clusters_docs,
@@ -665,6 +711,7 @@ ORACLES = {
     "region_nations": SQL_REGION_NATIONS,
     "distinct_segments": SQL_DISTINCT_SEGMENTS,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "user_sessions": SQL_USER_SESSIONS,
     "props_path": SQL_PROPS_PATH,
     "knn_embeddings": SQL_KNN_EMBEDDINGS,
     "lineitem_stats": SQL_LINEITEM_STATS,
