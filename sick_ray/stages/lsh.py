@@ -299,8 +299,25 @@ def verify_edges_broadcast(edges_ds, sig_lookup_ref, threshold: float):
 
 def verify_edges_join(edges_ds, sig_ds, threshold: float, num_partitions: int):
     """Scale path: two hash joins (edges ⋈ sigs on u, then on v) instead of
-    a driver-side broadcast. Signature payload is 128×uint32 per row."""
-    su = sig_ds.select_columns(["fp64", "sig"])
+    a driver-side broadcast. The signature rides the join as a binary blob
+    (Arrow's hash join does not support list-typed payloads)."""
+
+    def to_blob(batch: pa.Table) -> pa.Table:
+        from sick_ray.stages.minhash import fsl_to_numpy
+
+        width = batch.column("sig").type.list_size
+        mat = np.ascontiguousarray(fsl_to_numpy(batch.column("sig"), width))
+        nbytes = mat.dtype.itemsize * width
+        blob = mat.view(np.uint8).reshape(len(batch), nbytes)
+        return pa.table(
+            {
+                "fp64": batch.column("fp64"),
+                "sigb": pa.array(list(blob.tobytes(order="C")[i * nbytes:(i + 1) * nbytes]
+                                      for i in range(len(batch))), type=pa.binary()),
+            }
+        )
+
+    su = sig_ds.select_columns(["fp64", "sig"]).map_batches(to_blob, batch_format="pyarrow")
     j1 = edges_ds.join(
         su, join_type="inner", num_partitions=num_partitions,
         on=("u",), right_on=("fp64",), right_suffix="_su",
@@ -313,14 +330,16 @@ def verify_edges_join(edges_ds, sig_ds, threshold: float, num_partitions: int):
     def flt(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.select(["u", "v"])
-        from sick_ray.stages.minhash import fsl_to_numpy
-
         names = batch.column_names
-        s1 = next(c for c in names if c.startswith("sig") and not c.endswith("_sv"))
-        s2 = next(c for c in names if c.startswith("sig") and c.endswith("_sv"))
-        width = batch.column(s1).type.list_size
-        a = fsl_to_numpy(batch.column(s1), width)
-        b = fsl_to_numpy(batch.column(s2), width)
+        s1 = next(c for c in names if c.startswith("sigb") and not c.endswith("_sv"))
+        s2 = next(c for c in names if c.startswith("sigb") and c.endswith("_sv"))
+
+        def mat(col):
+            blobs = col.to_pylist()
+            return np.frombuffer(b"".join(blobs), dtype=np.uint32).reshape(len(blobs), -1)
+
+        a = mat(batch.column(s1))
+        b = mat(batch.column(s2))
         est = (a == b).mean(axis=1)
         return batch.select(["u", "v"]).filter(pa.array(est >= threshold))
 
