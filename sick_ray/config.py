@@ -38,7 +38,8 @@ class DedupConfig:
     driver_uf_max_edges: int = 2_000_000  # below this, fold edges on driver
     # --- substring dedup (stage 3) ---
     min_span: int = 256         # bytes; minimal duplicated span to report
-    span_stride: int = 16       # content-anchor density for the global span pass
+    span_stride: int = 24       # content-anchor density (1/stride per byte); miss prob
+                                # for a min_span dup ≈ (1-1/stride)^(min_span/2) ≈ 0.4%
     suffix_partitions: int = 0  # 0 = let Ray pick block partitioning
     # --- execution ---
     batch_size: int = 2048      # docs per batch for minhash actors

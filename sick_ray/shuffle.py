@@ -78,9 +78,12 @@ def grouped_apply(
     per call (vectorize: sort by key + segment ops). ``partial`` is an
     optional per-batch map-side pre-reduction (must be idempotent and
     key-preserving)."""
+    # batch_size=None → one call per block: our partition fns are fully
+    # vectorized, and small default batches fragment the shuffle input into
+    # hundreds of tiny blocks (measured 5x slowdown of the sort shuffle)
     if partial is not None:
-        ds = ds.map_batches(partial, batch_format="pyarrow")
-    ds = ds.map_batches(_add_part(key_cols, num_partitions), batch_format="pyarrow")
+        ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(_add_part(key_cols, num_partitions), batch_format="pyarrow", batch_size=None)
 
     def apply(part_tbl: pa.Table) -> pa.Table:
         return fn(part_tbl.drop_columns(["part"]))

@@ -240,7 +240,7 @@ def candidate_edges(sig_ds, cfg: DedupConfig):
     The band-rows table (16 B/row) is materialized once and reused by the
     pre-pass and the bucket shuffle so the upstream minhash chain is not
     recomputed."""
-    band_rows = sig_ds.map_batches(explode_bands, batch_format="pyarrow").materialize()
+    band_rows = sig_ds.map_batches(explode_bands, batch_format="pyarrow", batch_size=None).materialize()
     hot = hot_buckets(band_rows, cfg)
     salted = band_rows.map_batches(make_salter(hot, cfg.salt_fanout), batch_format="pyarrow")
     raw = grouped_apply(

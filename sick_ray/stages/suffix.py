@@ -231,35 +231,37 @@ def make_anchor_emitter(cfg: DedupConfig):
     stride = cfg.span_stride
 
     def emit(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "whash": pa.array([], type=pa.int64()),
+                "uhash": pa.array([], type=pa.int64()),
+                "start": pa.array([], type=pa.int64()),
+            }
+        )
         uhashes = xxh64_strings(batch.column("url")).view(np.int64)
         texts = batch.column("text").to_pylist()
-        out_h, out_u, out_s = [], [], []
-        for uh, t in zip(uhashes, texts):
-            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-            if len(b) < L:
-                continue
-            qh = window_hashes(b, _QGRAM)
-            anchors = np.flatnonzero(qh % U64(stride) == 0)
-            anchors = anchors[anchors + L <= len(b)]
-            if len(anchors) == 0:
-                continue
-            wh = window_hashes(b, L)
-            out_h.append(wh[anchors].view(np.int64))
-            out_u.append(np.full(len(anchors), uh, dtype=np.int64))
-            out_s.append(anchors)
-        if not out_h:
-            return pa.table(
-                {
-                    "whash": pa.array([], type=pa.int64()),
-                    "uhash": pa.array([], type=pa.int64()),
-                    "start": pa.array([], type=pa.int64()),
-                }
-            )
+        # one concatenated buffer + ONE rolling-hash pass per batch; anchors
+        # whose full window stays inside its doc are exactly the anchors the
+        # per-doc formulation would pick (position-independent hash)
+        buf, starts, ends = _concat_docs(texts)
+        n = len(buf)
+        if n < L:
+            return empty
+        qh = window_hashes(buf, _QGRAM)
+        anchors = np.flatnonzero(qh % U64(stride) == 0)
+        if len(anchors) == 0:
+            return empty
+        doc_of = np.searchsorted(ends, anchors, side="right")
+        ok = anchors + L <= ends[doc_of]
+        anchors, doc_of = anchors[ok], doc_of[ok]
+        if len(anchors) == 0:
+            return empty
+        wh = window_hashes(buf, L)
         return pa.table(
             {
-                "whash": pa.array(np.concatenate(out_h), type=pa.int64()),
-                "uhash": pa.array(np.concatenate(out_u), type=pa.int64()),
-                "start": pa.array(np.concatenate(out_s), type=pa.int64()),
+                "whash": pa.array(wh[anchors].view(np.int64), type=pa.int64()),
+                "uhash": pa.array(uhashes[doc_of], type=pa.int64()),
+                "start": pa.array(anchors - starts[doc_of], type=pa.int64()),
             }
         )
 
@@ -369,7 +371,7 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
     local = sa_docs.map_batches(
         make_sa_span_finder(cfg), batch_format="pyarrow", batch_size=SA_BATCH_DOCS
     )
-    anchors = docs.map_batches(make_anchor_emitter(cfg), batch_format="pyarrow")
+    anchors = docs.map_batches(make_anchor_emitter(cfg), batch_format="pyarrow", batch_size=None)
     seeds = grouped_apply(
         anchors, ["whash"], make_anchor_survivors(cfg), num_partitions=cfg.num_partitions
     )
