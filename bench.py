@@ -90,7 +90,7 @@ def run_bench() -> dict:
     # parallelism levels so the 8- vs 32-CPU scaling runs do the same work;
     # only the execution-resource knobs scale with the CPU count
     cfg = DedupConfig(
-        minhash_concurrency=max(2, NUM_CPUS // 4),
+        minhash_concurrency=max(2, NUM_CPUS // 2),
         num_partitions=64,
         uf_shards=max(2, NUM_CPUS // 4),
     )

@@ -42,7 +42,7 @@ class DedupConfig:
                                 # for a min_span dup ≈ (1-1/stride)^(min_span/2) ≈ 0.4%
     suffix_partitions: int = 0  # 0 = let Ray pick block partitioning
     # --- execution ---
-    batch_size: int = 2048      # docs per batch for minhash actors
+    batch_size: int = 1024      # docs per batch for minhash actors
     minhash_concurrency: int = 8  # actor pool size for the MinHash stage
     num_partitions: int = 32    # hash-join / shuffle partition count
 
