@@ -1,0 +1,86 @@
+"""CLI entry — the `ray job submit` surface.
+
+    python -m sick_ray.pipelines <input_parquet> <out_dir> \
+        [--spans] [--num-cpus N] [--partitions P]
+
+Runs the 3-stage dedup pipeline with checkpoint manifests under
+``out_dir`` (resume: re-running with the same input+config skips completed
+stages), writes clusters/fingerprints/spans parquet + manifests, and
+prints a one-line JSON summary. On a real cluster, submit with
+``ray job submit -- python -m sick_ray.pipelines s3://... /out`` — the
+code is identical; only ray.init's target changes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    p = argparse.ArgumentParser(prog="sick_ray.pipelines")
+    p.add_argument("input", help="input webtext parquet file/dir")
+    p.add_argument("out_dir", help="checkpoint + output directory")
+    p.add_argument("--spans", action="store_true", help="also run substring dedup")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--partitions", type=int, default=64)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from sick_ray.config import DedupConfig
+    from sick_ray.pipelines.dedup import run_dedup
+    from sick_ray.stages.suffix import duplicate_spans
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    cfg = DedupConfig(
+        minhash_concurrency=max(2, ncpu // 2),
+        uf_shards=max(2, ncpu // 4),
+        num_partitions=args.partitions,
+    )
+    t0 = time.time()
+    res = run_dedup(args.input, cfg, out_dir=args.out_dir)
+    n = res.clusters.count()
+    summary = {
+        "n_docs": res.n_docs,
+        "n_canonical": res.n_canonical,
+        "n_edges": res.n_edges,
+        "n_clusters_rows": n,
+        "resumed_stages": [e["stage"] for e in res.runner_log if e.get("resumed")],
+        "wall_sec": round(time.time() - t0, 2),
+    }
+    if args.spans:
+        spans = duplicate_spans(
+            rd.read_parquet(args.input), cfg, n_docs_hint=res.n_docs
+        )
+        spans_dir = os.path.join(args.out_dir, "spans")
+        os.makedirs(spans_dir, exist_ok=True)
+        spans.write_parquet(spans_dir)
+        from sick_ray.state.manifest import commit_manifest
+
+        commit_manifest(spans_dir, "spans", "cli")
+        summary["n_spans"] = rd.read_parquet(spans_dir).count()
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
