@@ -18,6 +18,29 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The driver owns the Ray session and may have initialised it from a cwd
+# where `sick_ray` is not importable — Ray workers only inherit the driver's
+# CWD on sys.path, not its sys.path. Registering the package for by-value
+# cloudpickle serialization makes every map function / actor class
+# self-contained: workers never need to import `sick_ray` at all (all
+# sick_ray-internal imports are module-level, so the pickled closures carry
+# their dependencies).
+import sick_ray  # noqa: E402
+
+
+def _register_by_value() -> None:
+    import importlib
+    import pkgutil
+
+    from ray import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sick_ray)
+    for m in pkgutil.walk_packages(sick_ray.__path__, prefix="sick_ray."):
+        cloudpickle.register_pickle_by_value(importlib.import_module(m.name))
+
+
+_register_by_value()
+
 
 def entry() -> Any:
     """Flagship 3-stage dedup pipeline over the sf0.001 documents corpus

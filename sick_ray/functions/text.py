@@ -15,6 +15,7 @@ import re
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from sick_ray.stages.suffix import window_hashes
 
 TOKEN_PATTERN = r"[0-9A-Za-z]+"          # ASCII alnum runs (oracle-parity safe)
 
@@ -114,8 +115,6 @@ def add_winnow_fingerprint(batch: pa.Table, n_mins: int = 8, window: int = 64,
                            stride: int = 16) -> pa.Table:
     """Winnowing-style doc fingerprint: the ``n_mins`` smallest anchored
     rolling-window hashes per doc (robust to local edits, unlike fp64)."""
-    from sick_ray.stages.suffix import window_hashes
-
     out = []
     for t in batch.column("text").to_pylist():
         b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)

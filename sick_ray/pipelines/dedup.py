@@ -26,6 +26,7 @@ import dataclasses
 
 import numpy as np
 import pyarrow as pa
+from sick_ray.shuffle import first_mask, grouped_apply, sort_index, url_sort_key
 
 from sick_ray.config import DedupConfig
 from sick_ray.extract import extract_batch
@@ -61,8 +62,6 @@ class DedupResult:
 def _flag_canonical_partition(part: pa.Table) -> pa.Table:
     """Vectorized over all clusters of a hash partition: mark the min
     (warc_ts, url) member of each cluster canonical."""
-    from sick_ray.shuffle import first_mask, sort_index, url_sort_key
-
     n = part.num_rows
     if n == 0:
         return part.append_column("is_canonical", pa.array([], type=pa.bool_()))
@@ -193,8 +192,6 @@ def run_dedup(
         return f
 
     def compute_clusters():
-        from sick_ray.shuffle import grouped_apply
-
         flagged = grouped_apply(
             assigned,
             ["cluster_id"],

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from sick_ray.xxh import xxh64_strings
 
 U64 = np.uint64
 _MIX1 = U64(0xFF51AFD7ED558CCD)
@@ -47,8 +48,6 @@ def combine_keys(table: pa.Table, key_cols: list[str]) -> np.ndarray:
     for c in key_cols:
         col = table.column(c)
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) or pa.types.is_binary(col.type):
-            from sick_ray.xxh import xxh64_strings
-
             v = xxh64_strings(col)
         else:
             v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from sick_ray.shuffle import first_mask, grouped_apply, mix64, sort_index
 
 from sick_ray.config import AnnConfig
 
@@ -95,8 +96,6 @@ class HyperplaneHasher:
             val = np.zeros(n, dtype=np.uint64)
             for j in range(bits.shape[1]):
                 val = (val << np.uint64(1)) | bits[:, j].astype(np.uint64)
-            from sick_ray.shuffle import mix64
-
             keys[:, t] = mix64(val * np.uint64(0x9E3779B185EBCA87) + np.uint64(t)).view(
                 np.int64
             )
@@ -115,8 +114,6 @@ def embedding_near_dup_edges(emb_ds, threshold: float = 0.95,
     embeddings lower cfg.n_tables or pre-reduce dimensionality upstream.
     """
     import pyarrow.compute as pc  # noqa: F401  (kept for parity with callers)
-
-    from sick_ray.shuffle import first_mask, grouped_apply, sort_index
 
     cfg = cfg or AnnConfig()
     state = {}

@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from sick_ray.shuffle import first_mask, grouped_apply, sort_index, url_sort_key
+from sick_ray.config import DedupConfig
 
 from sick_ray.xxh import xxh64_strings
 
@@ -40,8 +42,6 @@ def _keep_first_partition(part: pa.Table) -> pa.Table:
     canonical row per fp64 = min (warc_ts, url). Commutative + associative
     with explicit tie-break, so Ray's unordered block execution cannot
     change the result (SURVEY.md §4.2 "ordering")."""
-    from sick_ray.shuffle import first_mask, sort_index, url_sort_key
-
     if part.num_rows <= 1:
         return part
     fp = part.column("fp64").to_numpy(zero_copy_only=False)
@@ -59,9 +59,6 @@ def exact_dedup(docs, cfg=None):
     Two-phase hash aggregate (see sick_ray.shuffle): per-batch partial
     distinct map-side, then one whole-partition vectorized keep-first —
     never a per-key Python call."""
-    from sick_ray.config import DedupConfig
-    from sick_ray.shuffle import grouped_apply
-
     cfg = cfg or DedupConfig()
     return grouped_apply(
         docs,

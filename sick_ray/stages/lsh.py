@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from sick_ray.stages.minhash import fsl_to_numpy
 
 from sick_ray.config import DedupConfig
 from sick_ray.shuffle import (
@@ -270,8 +271,6 @@ def distinct_edges(edges_ds, cfg: DedupConfig | None = None):
 
 def build_sig_lookup(sig_table: pa.Table, num_perm: int):
     """(index: {fp64→row}, matrix: (n, num_perm) uint32) for broadcast."""
-    from sick_ray.stages.minhash import fsl_to_numpy
-
     fp = sig_table.column("fp64").to_numpy(zero_copy_only=False)
     mat = fsl_to_numpy(sig_table.column("sig"), num_perm)
     return {int(f): i for i, f in enumerate(fp)}, np.ascontiguousarray(mat)
@@ -303,8 +302,6 @@ def verify_edges_join(edges_ds, sig_ds, threshold: float, num_partitions: int):
     (Arrow's hash join does not support list-typed payloads)."""
 
     def to_blob(batch: pa.Table) -> pa.Table:
-        from sick_ray.stages.minhash import fsl_to_numpy
-
         width = batch.column("sig").type.list_size
         mat = np.ascontiguousarray(fsl_to_numpy(batch.column("sig"), width))
         nbytes = mat.dtype.itemsize * width

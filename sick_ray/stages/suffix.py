@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from sick_ray.shuffle import first_mask, grouped_apply, sort_index
+from sick_ray.xxh import xxh64_strings
 
 from sick_ray.config import DedupConfig
 
@@ -148,8 +150,6 @@ def make_sa_span_finder(cfg: DedupConfig):
     L = cfg.min_span
 
     def find(batch: pa.Table) -> pa.Table:
-        from sick_ray.xxh import xxh64_strings
-
         uhashes = xxh64_strings(batch.column("url")).view(np.int64)
         texts = batch.column("text").to_pylist()
         buf, starts, ends = _concat_docs(texts)
@@ -225,8 +225,6 @@ def make_anchor_emitter(cfg: DedupConfig):
     Rows carry the xxh64 of the url, not the url string — the whash shuffle
     then moves 24 B/row instead of ~60 B; urls are re-attached to the final
     (small) merged-span table from a broadcast uhash→url map."""
-    from sick_ray.xxh import xxh64_strings
-
     L = _global_window(cfg)
     stride = cfg.span_stride
 
@@ -272,8 +270,6 @@ def make_anchor_survivors(cfg: DedupConfig):
     """Per-partition vectorized filter over ALL whash groups at once: keep
     anchor rows whose window occurs in ≥2 docs (or ≥W apart in one doc) —
     each survivor is a duplicated span seed (uhash, start)."""
-    from sick_ray.shuffle import first_mask, sort_index
-
     W = _global_window(cfg)
 
     def survivors(part: pa.Table) -> pa.Table:
@@ -303,8 +299,6 @@ def make_anchor_survivors(cfg: DedupConfig):
 
 def _merge_url_spans_partition(part: pa.Table) -> pa.Table:
     """Vectorized overlapping-interval merge for ALL docs in a partition."""
-    from sick_ray.shuffle import first_mask, sort_index
-
     if part.num_rows == 0:
         return part
     uh = part.column("uhash").to_numpy(zero_copy_only=False)
@@ -360,8 +354,6 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
     collection pass entirely."""
     import ray
 
-    from sick_ray.shuffle import grouped_apply
-
     cfg = cfg or DedupConfig()
     docs = docs_ds.select_columns(["url", "text"])
     # two consumers each re-execute the (cheap) upstream projection; the SA
@@ -401,14 +393,10 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
 
     # re-attach urls to the final (small) span table
     def url_pairs(batch: pa.Table) -> pa.Table:
-        from sick_ray.xxh import xxh64_strings
-
         uh = xxh64_strings(batch.column("url")).view(np.int64)
         return pa.table({"uhash": pa.array(uh, type=pa.int64()), "url": batch.column("url")})
 
     if url_list is not None and len(url_list) <= BROADCAST_URLMAP_LIMIT:
-        from sick_ray.xxh import xxh64_strings
-
         uh = xxh64_strings(list(url_list)).view(np.int64)
         ref = ray.put(dict(zip(uh.tolist(), url_list)))
     else:
