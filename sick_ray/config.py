@@ -18,6 +18,9 @@ class DedupConfig:
     """Knobs for the 3-stage dedup pipeline. Defaults are the "reference
     config" the recall target is measured at (SURVEY.md §7.0)."""
 
+    # --- stage toggles (the analogue of sick's dedup/dedupPrimitives
+    # flags, SICK.scala:12 / EBABuilder.scala:89-117) ---
+    enable_near: bool = True    # False → stage 1 exact dedup only
     # --- shingling / MinHash (stage 2a) ---
     shingle_k: int = 5          # word shingle width
     num_perm: int = 128         # MinHash permutations

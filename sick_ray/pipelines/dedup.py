@@ -97,6 +97,13 @@ def run_dedup(
     def compute_meta():
         ds = input_ds.map_batches(extract_batch, batch_format="pyarrow")
         ds = ds.map_batches(add_fingerprints, batch_format="pyarrow")
+        if not cfg.enable_near:     # exact-only mode (sick's dedup flags)
+            return ds.map_batches(
+                lambda b: b.drop_columns(
+                    [c for c in ("text", "html") if c in b.column_names]
+                ),
+                batch_format="pyarrow",
+            )
         return ds.map_batches(
             MinHasher,
             fn_constructor_args=(cfg,),
@@ -120,6 +127,11 @@ def run_dedup(
     n_canonical = canonical.count()
 
     def compute_edges():
+        if not cfg.enable_near:
+            return rd.from_arrow(
+                pa.table({"u": pa.array([], type=pa.int64()),
+                          "v": pa.array([], type=pa.int64())})
+            )
         sig_ds = canonical.select_columns(["fp64", "sig", "band_hash"])
         edges = candidate_edges(sig_ds, cfg)
         edges = distinct_edges(edges, cfg)

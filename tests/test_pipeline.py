@@ -119,3 +119,24 @@ def test_text_invariant_byte_identical(ray_session, small_corpus):
     # null-text rows got a deterministic extraction
     nulls = m[m["text_in"].isna()]
     assert nulls["text_out"].notna().all()
+
+
+def test_exact_only_mode(ray_session, small_corpus):
+    """cfg.enable_near=False → clusters == exact fp64 groups only (the
+    reference's dedup-flags matrix, EBABuilder.scala:89-117)."""
+    import ray.data as rd
+
+    from sick_ray.config import DedupConfig
+    from sick_ray.pipelines.dedup import run_dedup
+
+    ds = rd.read_parquet(os.path.join(small_corpus, "webtext.parquet"))
+    cfg = DedupConfig(enable_near=False, minhash_concurrency=2, uf_shards=2,
+                      num_partitions=8)
+    res = run_dedup(ds, cfg)
+    assert res.n_edges == 0
+    cl = res.clusters.to_pandas()
+    fp = res.fingerprints.to_pandas()
+    # cluster ids == own fp64 per url (no near-dup merging)
+    m = cl.merge(fp, on="url")
+    assert (m["cluster_id"] == m["fp64"]).all()
+    assert cl["cluster_id"].nunique() == res.n_canonical
