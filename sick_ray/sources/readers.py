@@ -75,10 +75,12 @@ def validate_webtext(ds) -> None:
 
 
 def write_stage(ds, out_dir: str, stage: str, input_fp: str = "adhoc",
-                min_rows_per_file: int | None = None) -> dict:
+                min_rows_per_file: int | None = None,
+                compression: str | None = None) -> dict:
     """Resumable sink: parquet part files + a committed manifest with
-    per-part lineage (rows/bytes) — see sick_ray.state.manifest. Returns
-    the manifest dict."""
+    per-part lineage (rows/bytes) — see sick_ray.state.manifest.
+    ``compression``: parquet codec, e.g. "zstd" (the reference's test-only
+    zstd path, EBAReaderWriterTest.scala:99-103). Returns the manifest."""
     import os
 
     from sick_ray.state.manifest import commit_manifest
@@ -91,5 +93,7 @@ def write_stage(ds, out_dir: str, stage: str, input_fp: str = "adhoc",
     kwargs = {}
     if min_rows_per_file is not None:
         kwargs["min_rows_per_file"] = min_rows_per_file
+    if compression is not None:
+        kwargs["compression"] = compression
     ds.write_parquet(stage_dir, **kwargs)
     return commit_manifest(stage_dir, stage, input_fp)

@@ -57,3 +57,20 @@ def test_write_stage_manifest(ray_session, tmp_path):
     assert on_disk["input_fp"] == "fp1"
     assert on_disk["status"] == "complete"
     assert sum(p["rows"] for p in on_disk["parts"]) == 100
+
+
+def test_write_stage_zstd(ray_session, tmp_path):
+    """zstd-compressed stage output (the reference's test-only zstd path,
+    EBAReaderWriterTest.scala:99-103) round-trips."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sick_ray.sources.readers import write_stage
+
+    ds = rd.from_arrow(pa.table({"a": list(range(1000)), "t": ["x" * 50] * 1000}))
+    man = write_stage(ds, str(tmp_path), "z", input_fp="fp", compression="zstd")
+    assert man["total_rows"] == 1000
+    f = [n for n in os.listdir(tmp_path / "z") if n.endswith(".parquet")][0]
+    md = pq.ParquetFile(str(tmp_path / "z" / f)).metadata
+    assert md.row_group(0).column(0).compression.lower() == "zstd"
