@@ -128,19 +128,6 @@ def _concat_docs(texts: list[str]):
     return buf, starts, ends
 
 
-def _merge_runs(positions: np.ndarray, L: int, max_gap: int = 1):
-    """Sorted window-start positions → maximal [start, end) spans."""
-    if len(positions) == 0:
-        return []
-    brk = np.flatnonzero(np.diff(positions) > max_gap)
-    seg_starts = np.concatenate([[0], brk + 1])
-    seg_ends = np.concatenate([brk, [len(positions) - 1]])
-    return [
-        (int(positions[a]), int(positions[b]) + L)
-        for a, b in zip(seg_starts, seg_ends)
-    ]
-
-
 def make_sa_span_finder(cfg: DedupConfig):
     """map_batches fn: per-partition suffix-array duplicated-span finder.
 
