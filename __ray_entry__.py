@@ -45,7 +45,7 @@ _register_by_value()
 def entry() -> Any:
     """Flagship 3-stage dedup pipeline over the sf0.001 documents corpus
     (adapted to the webtext shape). Returns the clusters Dataset
-    (url, cluster_id:uint64, is_canonical:bool)."""
+    (url, warc_ts, cluster_id:uint64, is_canonical:bool)."""
     from sick_ray.config import DedupConfig
     from sick_ray.pipelines.dedup import run_dedup
     from sick_ray.pipelines.queries import _docs_as_webtext

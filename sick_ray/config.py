@@ -32,7 +32,10 @@ class DedupConfig:
     # (north_rule: explicit salted-key repartitioning for boilerplate skew)
     hot_bucket_threshold: int = 64
     salt_fanout: int = 16       # sub-buckets per hot bucket
-    max_pairs_per_bucket: int = 4096  # hard cap, truncation is logged
+    # buckets whose all-pairs count exceeds this fall back to star + chain
+    # edges; the shortfall is surfaced as truncated_pairs/truncated_buckets
+    # counters in the edges-stage manifest (never silent)
+    max_pairs_per_bucket: int = 4096
     # --- candidate verification (stage 2b→2c) ---
     verify: str = "signature"   # "signature" | "none"
     verify_threshold: float = 0.72  # est. Jaccard (matching sig fraction)

@@ -49,16 +49,18 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         idx = pc.indices_nonzero(mask).to_pylist()
         if "html" in batch.column_names:
             html = batch.column("html")
-            filled = {i: html_to_text(html[i].as_py()) for i in idx}
+            repl = [html_to_text(html[i].as_py()) for i in idx]
         else:
-            filled = {i: "" for i in idx}
-        # rebuild only the null slots; non-null slots keep original buffers
-        py = text.to_pylist()
-        for i, v in filled.items():
-            py[i] = v
-        text = pa.chunked_array([pa.array(py, type=text.type)])
+            repl = [""] * len(idx)
+        # patch ONLY the null slots (replace_with_mask): the non-null
+        # strings keep their original Arrow buffers — no Python round-trip
+        # of the whole column when one row has a null (round-1 hot spot)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+            mask = mask.combine_chunks() if isinstance(mask, pa.ChunkedArray) else mask
+        filled = pc.replace_with_mask(text, mask, pa.array(repl, type=text.type))
         batch = batch.set_column(
-            batch.schema.get_field_index("text"), "text", text
+            batch.schema.get_field_index("text"), "text", filled
         )
     if "html" in batch.column_names:
         batch = batch.drop_columns(["html"])

@@ -16,17 +16,21 @@ import numpy as np
 import pyarrow as pa
 
 from sick_ray.config import DedupConfig
-from sick_ray.shuffle import first_mask, grouped_apply, mix64, sort_index
-from sick_ray.stages.minhash import tokenize_hashes
+from sick_ray.shuffle import grouped_apply, mix64, segment_pairs, sort_index
+from sick_ray.stages.minhash import tokenize_hashes, tokenize_hashes_col
 
 U64 = np.uint64
 N_BLOCKS = 4
 BLOCK_BITS = 16
 
 
-def simhash_batch(texts: list[str], seed: int = 0) -> np.ndarray:
-    """64-bit simhash per text (uint64 array)."""
-    th, offsets = tokenize_hashes(texts, seed=seed)
+def simhash_batch(texts, seed: int = 0) -> np.ndarray:
+    """64-bit simhash per text (uint64 array). ``texts``: list[str] or
+    Arrow string column (zero-copy tokenizer path)."""
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        th, offsets = tokenize_hashes_col(texts, seed=seed)
+    else:
+        th, offsets = tokenize_hashes(texts, seed=seed)
     n = len(texts)
     sig = np.zeros(n, dtype=np.uint64)
     if len(th) == 0:
@@ -47,7 +51,7 @@ def simhash_batch(texts: list[str], seed: int = 0) -> np.ndarray:
 
 
 def add_simhash(batch: pa.Table) -> pa.Table:
-    sig = simhash_batch(batch.column("text").to_pylist())
+    sig = simhash_batch(batch.column("text"))
     return batch.append_column("simhash", pa.array(sig.view(np.int64), type=pa.int64()))
 
 
@@ -69,9 +73,12 @@ def explode_blocks(batch: pa.Table, id_col: str = "fp64") -> pa.Table:
     )
 
 
-def make_simhash_edges(max_hamming: int):
-    """Per-partition: for each block bucket, star-candidates verified by
-    exact Hamming distance ≤ max_hamming."""
+def make_simhash_edges(max_hamming: int, cap: int = 65536):
+    """Per-partition: for each block bucket, ALL within-bucket pairs
+    (shuffle.segment_pairs — hub-spoke stars dropped true pairs whenever
+    the bucket's first member was within max_hamming of neither, breaking
+    the pigeonhole completeness guarantee; ADVICE.md r1) verified by exact
+    Hamming distance ≤ max_hamming."""
 
     def emit(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
@@ -83,15 +90,9 @@ def make_simhash_edges(max_hamming: int):
         sig = part.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
         order = sort_index(bkt, ids)
         bk, idn, sg = bkt[order], ids[order], sig[order]
-        fm = first_mask(bk)
-        gid = np.cumsum(fm) - 1
-        firsts_idx = np.flatnonzero(fm)
-        is_cand = ~fm
-        u = idn[firsts_idx[gid[is_cand]]]
-        su = sg[firsts_idx[gid[is_cand]]]
-        v = idn[is_cand]
-        sv = sg[is_cand]
-        x = su ^ sv
+        i_idx, j_idx, _, _ = segment_pairs(bk, cap)
+        u, v = idn[i_idx], idn[j_idx]
+        x = sg[i_idx] ^ sg[j_idx]
         # popcount via uint8 lookup
         lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
         ham = lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)

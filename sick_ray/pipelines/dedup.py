@@ -26,7 +26,7 @@ import dataclasses
 
 import numpy as np
 import pyarrow as pa
-from sick_ray.shuffle import first_mask, grouped_apply, sort_index, url_sort_key
+from sick_ray.shuffle import first_mask, grouped_apply, join_partitions
 
 from sick_ray.config import DedupConfig
 from sick_ray.extract import extract_batch
@@ -40,7 +40,7 @@ from sick_ray.stages.lsh import (
     verify_edges_join,
 )
 from sick_ray.stages.minhash import MinHasher
-from sick_ray.state.manifest import StageRunner, stage_fingerprint
+from sick_ray.state.manifest import StageRunner, input_signature, stage_fingerprint
 
 # above this many canonical docs the verify stage switches from a broadcast
 # signature table to a two-sided hash join
@@ -50,9 +50,9 @@ BROADCAST_SIG_LIMIT = 300_000
 @dataclasses.dataclass
 class DedupResult:
     fingerprints: "object"   # Dataset (url, fp64, n_bytes)
-    clusters: "object"       # Dataset (url, cluster_id, is_canonical)
+    clusters: "object"       # Dataset (url, warc_ts, cluster_id, is_canonical)
     canonical: "object"      # Dataset, one meta row per distinct fp64
-    labels: pa.Table         # (fp64, cluster_id) for non-singleton nodes
+    labels: "object"         # Dataset (fp64, cluster_id), non-root dup nodes
     n_docs: int
     n_canonical: int
     n_edges: int
@@ -61,14 +61,19 @@ class DedupResult:
 
 def _flag_canonical_partition(part: pa.Table) -> pa.Table:
     """Vectorized over all clusters of a hash partition: mark the min
-    (warc_ts, url) member of each cluster canonical."""
+    (warc_ts, url) member of each cluster canonical. The multi-key sort is
+    Arrow's C++ kernel — url bytes never become Python objects."""
+    import pyarrow.compute as pc
+
     n = part.num_rows
     if n == 0:
         return part.append_column("is_canonical", pa.array([], type=pa.bool_()))
+    order = pc.sort_indices(
+        part,
+        sort_keys=[("cluster_id", "ascending"), ("warc_ts", "ascending"),
+                   ("url", "ascending")],
+    ).to_numpy(zero_copy_only=False)
     cid = part.column("cluster_id").to_numpy(zero_copy_only=False)
-    ts = part.column("warc_ts").to_numpy(zero_copy_only=False)
-    url = url_sort_key(part.column("url"))
-    order = sort_index(cid, ts, url)
     flags = np.zeros(n, dtype=bool)
     flags[order[first_mask(cid[order])]] = True
     return part.append_column("is_canonical", pa.array(flags))
@@ -87,12 +92,14 @@ def run_dedup(
 
     cfg = cfg or DedupConfig()
     if isinstance(input_ds, str):
-        input_path = input_ds
+        # content identity (file list + sizes + mtimes), not just the path:
+        # an edited input at the same path must invalidate checkpoints
+        input_sig = input_signature(input_ds)
         input_ds = rd.read_parquet(input_ds)
     else:
-        input_path = f"<dataset:{id(input_ds)}>"
+        input_sig = f"<dataset:{id(input_ds)}>"
     runner = StageRunner(out_dir)
-    cfg_fp = stage_fingerprint(dataclasses.asdict(cfg), input_path)
+    cfg_fp = stage_fingerprint(dataclasses.asdict(cfg), input_sig)
 
     def compute_meta():
         ds = input_ds.map_batches(extract_batch, batch_format="pyarrow")
@@ -126,6 +133,8 @@ def run_dedup(
         canonical = canonical.materialize()
     n_canonical = canonical.count()
 
+    edge_counters: dict = {}
+
     def compute_edges():
         if not cfg.enable_near:
             return rd.from_arrow(
@@ -133,7 +142,7 @@ def run_dedup(
                           "v": pa.array([], type=pa.int64())})
             )
         sig_ds = canonical.select_columns(["fp64", "sig", "band_hash"])
-        edges = candidate_edges(sig_ds, cfg)
+        edges = candidate_edges(sig_ds, cfg, counters=edge_counters)
         edges = distinct_edges(edges, cfg)
         if cfg.verify == "signature":
             if n_canonical <= BROADCAST_SIG_LIMIT:
@@ -156,7 +165,9 @@ def run_dedup(
                 )
         return edges
 
-    edges = runner.run("edges", cfg_fp, compute_edges)
+    edges = runner.run(
+        "edges", cfg_fp, compute_edges, counters_fn=lambda: dict(edge_counters)
+    )
     if out_dir is None:
         edges = edges.materialize()
     n_edges = edges.count()
@@ -164,35 +175,68 @@ def run_dedup(
     labels = connected_components(edges, cfg)
 
     # ---- attach back: every url gets cluster_id = label(fp64) or own fp ----
-    labels_ref = ray.put(
-        (
-            labels.column("fp64").to_numpy(zero_copy_only=False),
-            labels.column("cluster_id").to_numpy(zero_copy_only=False),
-        )
-    )
-
-    def attach(batch: pa.Table) -> pa.Table:
-        nodes, roots = ray.get(labels_ref)
-        order = np.argsort(nodes)
-        nodes_s, roots_s = nodes[order], roots[order]
-        fp = batch.column("fp64").to_numpy(zero_copy_only=False)
-        cid = fp.copy()
-        if len(nodes_s):
-            pos = np.searchsorted(nodes_s, fp)
-            pos = np.clip(pos, 0, len(nodes_s) - 1)
-            hit = nodes_s[pos] == fp
-            cid[hit] = roots_s[pos[hit]]
-        return pa.table(
-            {
-                "url": batch.column("url"),
-                "warc_ts": batch.column("warc_ts"),
-                "cluster_id": pa.array(cid, type=pa.int64()),
-            }
+    # Small runs broadcast the label pairs once (ray.put, read per task);
+    # above BROADCAST_SIG_LIMIT canonical docs the attach is a distributed
+    # left-outer hash join — no O(dup-nodes) structure touches the driver.
+    narrow = meta.select_columns(["url", "warc_ts", "fp64"])
+    if n_canonical <= BROADCAST_SIG_LIMIT:
+        lbl_tbl = pa.concat_tables(
+            list(labels.iter_batches(batch_size=262144, batch_format="pyarrow"))
+        ) if labels.count() else None
+        labels_ref = ray.put(
+            (
+                lbl_tbl.column("fp64").to_numpy(zero_copy_only=False),
+                lbl_tbl.column("cluster_id").to_numpy(zero_copy_only=False),
+            )
+            if lbl_tbl is not None
+            else (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         )
 
-    assigned = meta.select_columns(["url", "warc_ts", "fp64"]).map_batches(
-        attach, batch_format="pyarrow"
-    )
+        def attach(batch: pa.Table) -> pa.Table:
+            nodes, roots = ray.get(labels_ref)
+            order = np.argsort(nodes)
+            nodes_s, roots_s = nodes[order], roots[order]
+            fp = batch.column("fp64").to_numpy(zero_copy_only=False)
+            cid = fp.copy()
+            if len(nodes_s):
+                pos = np.searchsorted(nodes_s, fp)
+                pos = np.clip(pos, 0, len(nodes_s) - 1)
+                hit = nodes_s[pos] == fp
+                cid[hit] = roots_s[pos[hit]]
+            return pa.table(
+                {
+                    "url": batch.column("url"),
+                    "warc_ts": batch.column("warc_ts"),
+                    "cluster_id": pa.array(cid, type=pa.int64()),
+                }
+            )
+
+        assigned = narrow.map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = narrow.join(
+            labels,
+            join_type="left_outer",
+            num_partitions=join_partitions(cfg.num_partitions),
+            on=("fp64",),
+            right_suffix="_lbl",
+        )
+
+        def finish(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            cid_col = next(
+                c for c in batch.column_names if c.startswith("cluster_id")
+            )
+            cid = pc.coalesce(batch.column(cid_col), batch.column("fp64"))
+            return pa.table(
+                {
+                    "url": batch.column("url"),
+                    "warc_ts": batch.column("warc_ts"),
+                    "cluster_id": cid.cast(pa.int64()),
+                }
+            )
+
+        assigned = joined.map_batches(finish, batch_format="pyarrow")
 
     def _to_uint64(col):
         def f(batch: pa.Table) -> pa.Table:
@@ -210,7 +254,10 @@ def run_dedup(
             _flag_canonical_partition,
             num_partitions=cfg.num_partitions,
         )
-        out = flagged.select_columns(["url", "cluster_id", "is_canonical"])
+        # warc_ts stays in the output: (url, warc_ts) is the corpus row key
+        # (recrawls share a url — ADVICE r1), so downstream consumers can
+        # select exactly the canonical ROW, not every row bearing its url
+        out = flagged.select_columns(["url", "warc_ts", "cluster_id", "is_canonical"])
         # shuffles are done — re-interpret the int64 bit-views as uint64 for
         # the published schema (FIXTURES.md §3)
         return out.map_batches(_to_uint64("cluster_id"), batch_format="pyarrow")
@@ -238,28 +285,30 @@ def write_deduped_corpus(input_ds, clusters_ds, out_dir: str):
     state maps back to the original payload without re-encoding.
 
     ``input_ds``: the original webtext Dataset/path; ``clusters_ds``: the
-    pipeline's clusters output. The canonical url set is broadcast
-    (ray.put) and applied as a vectorized filter — no shuffle of text.
+    pipeline's clusters output. Canonical rows are selected by a
+    distributed LEFT SEMI join on the corpus row key (url, warc_ts) — urls
+    alone are not unique in web crawls (recrawls), and nothing about the
+    corpus is ever collected to the driver. The wide ``text``/``html``
+    payload rides only its own semi-join partition, never a broadcast.
     Returns (n_kept, out_dir).
     """
     import pyarrow.compute as pc
-    import ray
     import ray.data as rd
 
     if isinstance(input_ds, str):
         input_ds = rd.read_parquet(input_ds)
-    keep_urls = (
-        clusters_ds.map_batches(
-            lambda b: b.filter(pc.equal(b.column("is_canonical"), True)).select(["url"]),
-            batch_format="pyarrow",
-        ).to_pandas()["url"]
+    canon_keys = clusters_ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("is_canonical"), True)).select(
+            ["url", "warc_ts"]
+        ),
+        batch_format="pyarrow",
     )
-    ref = ray.put(pa.array(sorted(keep_urls), type=pa.string()))
-
-    def flt(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column("url"), value_set=ray.get(ref)))
-
-    kept = input_ds.map_batches(flt, batch_format="pyarrow")
+    kept = input_ds.join(
+        canon_keys,
+        join_type="left_semi",
+        num_partitions=join_partitions(DedupConfig().num_partitions),
+        on=("url", "warc_ts"),
+    )
     kept.write_parquet(out_dir)
     from sick_ray.state.manifest import commit_manifest
 

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from sick_ray.config import DedupConfig
-from sick_ray.shuffle import first_mask, grouped_apply, sort_index
+from sick_ray.shuffle import first_mask, grouped_apply, join_partitions, sort_index
 from sick_ray.xxh import xxh64_strings
 
 
@@ -405,6 +405,59 @@ SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
 """
 
 
+def q_props_path_deep(sf_dir: str):
+    """General path-query engine (functions/pathq.py — the analogue of the
+    reference's ``query(ref, "a.b.[0]")``, ``SickPath.cs:7-63``) over a
+    nested JSON document built deterministically from event columns:
+    dotted chains, positive and NEGATIVE array indexes, missing paths."""
+    from sick_ray.functions.pathq import make_path_extractor
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "props"])
+
+    def build_doc(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch.column("event_id"), pa.string())
+        uid = pc.cast(batch.column("user_id"), pa.string())
+        j = pc.binary_join_element_wise(
+            '{"meta":{"ids":[', eid, ",", uid, '],"type":"',
+            batch.column("event_type"), '"},"p":', batch.column("props"), "}",
+            "",
+        )
+        return pa.table({"event_id": batch.column("event_id"), "j": j})
+
+    extractor = make_path_extractor(
+        {
+            "last_id": "meta.ids.[-1]",      # negative index (readArrayElementRef [-1])
+            "first_id": "meta.ids[0]",       # attached bracket
+            "etype": "meta.type",            # dotted chain
+            "k_val": "p.k",                  # nested object hop
+            "miss": "meta.nope.x",           # missing path → NULL
+        },
+        col="j",
+        keep=["event_id"],
+    )
+    return ev.map_batches(build_doc, batch_format="pyarrow").map_batches(
+        extractor, batch_format="pyarrow"
+    )
+
+
+SQL_PROPS_PATH_DEEP = """
+SELECT event_id,
+       json_extract_string(j, '$.meta.ids[#-1]') AS last_id,
+       json_extract_string(j, '$.meta.ids[0]') AS first_id,
+       json_extract_string(j, '$.meta.type') AS etype,
+       json_extract_string(j, '$.p.k') AS k_val,
+       json_extract_string(j, '$.meta.nope.x') AS miss
+FROM (
+  SELECT event_id,
+         '{"meta":{"ids":[' || CAST(event_id AS VARCHAR) || ',' ||
+         CAST(user_id AS VARCHAR) || '],"type":"' || event_type ||
+         '"},"p":' || props || '}' AS j
+  FROM events
+)
+"""
+
+
 # ------------------------------------------------------------- embeddings
 
 def q_knn_embeddings(sf_dir: str):
@@ -621,11 +674,11 @@ FROM embeddings
 def q_ngram_exact_pairs(sf_dir: str):
     """Near-dup candidate edges verified by EXACT n-gram Jaccard ≥ 0.5
     (the precision-mode alternative to signature verification): extract →
-    minhash → LSH candidates → exact shingle-set verify."""
-    import ray
-
+    minhash → LSH candidates → join texts ONTO the (small) edge set →
+    exact shingle-set verify. Texts reach the verifier by distributed hash
+    join, never a driver broadcast of the corpus."""
     from sick_ray.extract import extract_batch
-    from sick_ray.functions.ngram import make_exact_verifier
+    from sick_ray.functions.ngram import make_joined_verifier
     from sick_ray.stages.exact import add_fingerprints, exact_dedup
     from sick_ray.stages.lsh import candidate_edges, distinct_edges
     from sick_ray.stages.minhash import MinHasher
@@ -634,8 +687,8 @@ def q_ngram_exact_pairs(sf_dir: str):
     meta_full = web.map_batches(extract_batch, batch_format="pyarrow").map_batches(
         add_fingerprints, batch_format="pyarrow"
     )
-    texts = meta_full.select_columns(["fp64", "text"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(texts["fp64"], texts["text"].fillna(""))))
+    meta_full = meta_full.materialize()
+    texts_ds = meta_full.select_columns(["fp64", "text"])
     meta = meta_full.map_batches(
         MinHasher, fn_constructor_args=(QCFG,), batch_format="pyarrow",
         batch_size=QCFG.batch_size, concurrency=(1, 2),
@@ -644,9 +697,16 @@ def q_ngram_exact_pairs(sf_dir: str):
     edges = distinct_edges(
         candidate_edges(canonical.select_columns(["fp64", "band_hash"]), QCFG), QCFG
     )
-    return edges.map_batches(
-        make_exact_verifier(QCFG, lookup_ref, 0.5), batch_format="pyarrow"
+    tu = texts_ds.rename_columns({"fp64": "ju", "text": "text_u"})
+    tv = texts_ds.rename_columns({"fp64": "jv", "text": "text_v"})
+    joined = edges.join(
+        tu, join_type="inner", num_partitions=join_partitions(QCFG.num_partitions),
+        on=("u",), right_on=("ju",),
+    ).join(
+        tv, join_type="inner", num_partitions=join_partitions(QCFG.num_partitions),
+        on=("v",), right_on=("jv",),
     )
+    return joined.map_batches(make_joined_verifier(QCFG, 0.5), batch_format="pyarrow")
 
 
 def q_embedding_near_dup(sf_dir: str):
@@ -658,6 +718,263 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup_edges(
         ds, threshold=0.3, cfg=AnnConfig(n_planes=4, n_tables=16), num_partitions=8
     )
+
+
+def q_cosine_pairs_exact(sf_dir: str):
+    """Exact all-pairs cosine ≥ 0.3 via the blocked distributed cross join
+    (stages/crossjoin.py) — recall-1.0 oracle twin of the LSH candidate
+    path, no broadcast or driver-side O(n) structure."""
+    from sick_ray.stages.crossjoin import all_pairs_cosine
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return all_pairs_cosine(ds, threshold=0.3, n_blocks=4, num_partitions=8)
+
+
+SQL_COSINE_PAIRS_EXACT = """
+SELECT a.vec_id AS u, b.vec_id AS v,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+"""
+
+
+def q_top_terms(sf_dir: str):
+    """Corpus-wide term frequency top-20: vectorized per-batch token
+    counting (tokenize_hashes byte path) feeding a hash-partitioned count
+    shuffle keyed by the token HASH (narrow rows); the winning hashes'
+    string forms ride along, and the driver merges only per-partition
+    top-k partials — the classic distributed word count with no global
+    sort."""
+    from sick_ray.stages.minhash import tokenize_hashes
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        th, offs = tokenize_hashes(texts)
+        # token strings for re-attach (lowercased, same tokenizer)
+        import re as _re
+
+        toks = []
+        for t in texts:
+            toks.extend(_re.findall(r"[^\W_]+", (t or "").lower()))
+        h = th.view(np.int64)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        fm = first_mask(hs)
+        starts = np.flatnonzero(fm)
+        cnt = np.diff(np.append(starts, len(hs)))
+        rep = np.asarray(toks, dtype=object)[order[fm]]
+        return pa.table(
+            {
+                "h": pa.array(hs[fm], type=pa.int64()),
+                "token": pa.array(rep, type=pa.string()),
+                "n": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    def reduce_topk(part: pa.Table) -> pa.Table:
+        h = part.column("h").to_numpy(zero_copy_only=False)
+        n = part.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs, ns = h[order], n[order]
+        fm = first_mask(hs)
+        starts = np.flatnonzero(fm)
+        tot = np.add.reduceat(ns, starts)
+        toks = part.column("token").take(pa.array(order[fm]))
+        k = min(20, len(tot))
+        top = np.argpartition(-tot, k - 1)[:k] if len(tot) > k else np.arange(len(tot))
+        return pa.table(
+            {
+                "token": toks.take(pa.array(top)),
+                "n": pa.array(tot[top], type=pa.int64()),
+            }
+        )
+
+    parts = grouped_apply(
+        docs.map_batches(partial_counts, batch_format="pyarrow"),
+        ["h"],
+        reduce_topk,
+        num_partitions=8,
+    ).to_pandas()
+    out = parts.sort_values(["n", "token"], ascending=[False, True]).head(20)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_TOP_TERMS = """
+SELECT t AS token, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z]+')) AS t FROM documents
+) GROUP BY t ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def q_user_running_value(sf_dir: str):
+    """Per-user running cumulative sum over the time-ordered event stream —
+    windowed aggregate via hash partition by user + segmented cumsum."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def running(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], type=pa.int64()),
+                 "running_value": pa.array([], type=pa.float64())}
+            )
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        val = part.column("value").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        order = sort_index(uid, ts, eid)
+        u_s, v_s, e_s = uid[order], val[order], eid[order]
+        fm = first_mask(u_s)
+        cs = np.cumsum(v_s)
+        base = np.where(fm, cs - v_s, 0.0)
+        seg_base = np.maximum.accumulate(np.where(fm, base, -np.inf))
+        run = cs - seg_base
+        return pa.table(
+            {
+                "event_id": pa.array(e_s, type=pa.int64()),
+                "running_value": pa.array(np.round(run, 2), type=pa.float64()),
+            }
+        )
+
+    return grouped_apply(ev, ["user_id"], running, num_partitions=QCFG.num_partitions)
+
+
+SQL_USER_RUNNING_VALUE = """
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events
+"""
+
+
+def q_prev_event_value(sf_dir: str):
+    """As-of self join: each event paired with the user's most recent
+    PRIOR event value (NULL for the first) — ordered merge per user
+    partition, the merge-as-of pattern."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def prev(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], type=pa.int64()),
+                 "prev_value": pa.array([], type=pa.float64())}
+            )
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        val = part.column("value").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        order = sort_index(uid, ts, eid)
+        u_s, v_s, e_s = uid[order], val[order], eid[order]
+        fm = first_mask(u_s)
+        pv = np.empty(len(v_s))
+        pv[1:] = v_s[:-1]
+        pv[0] = np.nan
+        pv[fm] = np.nan
+        return pa.table(
+            {
+                "event_id": pa.array(e_s, type=pa.int64()),
+                "prev_value": pa.array(np.round(pv, 2), type=pa.float64(),
+                                       from_pandas=True),
+            }
+        )
+
+    return grouped_apply(ev, ["user_id"], prev, num_partitions=QCFG.num_partitions)
+
+
+SQL_PREV_EVENT_VALUE = """
+SELECT event_id,
+       round(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+         AS prev_value
+FROM events
+"""
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: small-side broadcast (customer), BIG-BIG distributed
+    hash join (orders ⋈ lineitem via Dataset.join), grouped revenue,
+    partial top-k merge."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    building = ray.put(
+        set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].tolist())
+    )
+    cutoff = np.datetime64("1998-01-01", "us")
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(building)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        m = np.fromiter((k in keys for k in ck), dtype=bool, count=len(ck))
+        m &= od < cutoff
+        return batch.filter(pa.array(m)).select(["o_orderkey", "o_orderdate"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def filter_li(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        m = sd >= cutoff
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").filter(pa.array(m)),
+                "rev": pa.array((ep * (1 - dc))[m], type=pa.float64()),
+            }
+        )
+
+    joined = li.map_batches(filter_li, batch_format="pyarrow").join(
+        orders.map_batches(filter_orders, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=join_partitions(QCFG.num_partitions),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def agg(part: pa.Table) -> pa.Table:
+        ok = part.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rev = part.column("rev").to_numpy(zero_copy_only=False)
+        od = part.column("o_orderdate").to_numpy(zero_copy_only=False)
+        order = sort_index(ok)
+        ks, rs = ok[order], rev[order]
+        fm = first_mask(ks)
+        starts = np.flatnonzero(fm)
+        tot = np.add.reduceat(rs, starts)
+        k = min(10, len(tot))
+        top = np.argpartition(-tot, k - 1)[:k] if len(tot) > k else np.arange(len(tot))
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ks[fm][top], type=pa.int64()),
+                "revenue": pa.array(tot[top], type=pa.float64()),
+                "o_orderdate": pa.array(od[order][fm][top]),
+            }
+        )
+
+    parts = grouped_apply(
+        joined, ["l_orderkey"], agg, num_partitions=QCFG.num_partitions
+    ).to_pandas()
+    out = parts.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    out["revenue"] = out["revenue"].round(2)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate >= TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
 
 
 def q_winnow_fp_docs(sf_dir: str):
@@ -683,6 +1000,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "props_path": q_props_path,
+    "props_path_deep": q_props_path_deep,
     "knn_embeddings": q_knn_embeddings,
     "dedup_clusters_docs": q_dedup_clusters_docs,
     "doc_spans": q_doc_spans,
@@ -697,6 +1015,11 @@ QUERIES = {
     "ngram_exact_pairs": q_ngram_exact_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "winnow_fp_docs": q_winnow_fp_docs,
+    "cosine_pairs_exact": q_cosine_pairs_exact,
+    "top_terms": q_top_terms,
+    "user_running_value": q_user_running_value,
+    "prev_event_value": q_prev_event_value,
+    "shipping_priority": q_shipping_priority,
 }
 
 ORACLES = {
@@ -713,10 +1036,16 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "user_sessions": SQL_USER_SESSIONS,
     "props_path": SQL_PROPS_PATH,
+    "props_path_deep": SQL_PROPS_PATH_DEEP,
     "knn_embeddings": SQL_KNN_EMBEDDINGS,
     "lineitem_stats": SQL_LINEITEM_STATS,
     "orders_by_priority": SQL_ORDERS_BY_PRIORITY,
     "embedding_first_last": SQL_EMBEDDING_FIRST_LAST,
+    "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
+    "top_terms": SQL_TOP_TERMS,
+    "user_running_value": SQL_USER_RUNNING_VALUE,
+    "prev_event_value": SQL_PREV_EVENT_VALUE,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     # dedup_clusters_docs / doc_spans / simhash_docs / lang_id_docs /
     # quality_docs / knn_lsh_embeddings / media_decode: not SQL-expressible
     # (stateful hashing / heuristic scoring / LSH) → rows-only checks.

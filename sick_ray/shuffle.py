@@ -111,6 +111,71 @@ def group_ids(sorted_keys: np.ndarray) -> np.ndarray:
     return np.cumsum(fm) - 1
 
 
-def url_sort_key(col) -> np.ndarray:
-    """String column → numpy object array usable inside np.lexsort."""
-    return np.asarray(col.to_pylist(), dtype=object)
+def join_partitions(requested: int) -> int:
+    """Cap a Dataset.join partition count at the cluster's CPU slots.
+
+    Ray's hash join spawns ``num_partitions`` aggregator actors; when that
+    exceeds the available CPU slots on a small session the actors thrash /
+    stall behind the map tasks (measured: a 16-partition join on a 4-CPU
+    session ran >8 min; 4 partitions took seconds). On a real cluster the
+    cap is the total CPU count, so scale paths keep their parallelism."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", requested))
+    except Exception:
+        cpus = requested
+    return max(2, min(requested, cpus))
+
+
+def segment_pairs(sorted_keys: np.ndarray, cap: int):
+    """Within-group index pairs over a key-sorted array, vectorized across
+    ALL groups at once.
+
+    Groups whose all-pairs count C(g,2) is ≤ ``cap`` emit every pair —
+    required for recall: hub-spoke (star) emission drops true near-dup
+    pairs whenever the bucket's first member is dissimilar to both (the
+    round-1 hub failure). Groups above the cap fall back to star + chain
+    edges (2g−3 rows, connectivity-preserving) and the shortfall is
+    COUNTED, never silent.
+
+    Returns (i_idx, j_idx, truncated_pairs, truncated_groups) where i_idx/
+    j_idx index into the sorted array and i < j within each group.
+    """
+    n = len(sorted_keys)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, 0, 0
+    fm = first_mask(sorted_keys)
+    gid = np.cumsum(fm) - 1
+    starts = np.flatnonzero(fm)
+    sizes = np.diff(np.append(starts, n))
+    g_row = sizes[gid]
+    pos = np.arange(n) - starts[gid]
+    pairs_per_group = sizes * (sizes - 1) // 2
+    big = pairs_per_group > cap
+    big_row = big[gid]
+    # small groups: all pairs
+    rep = np.where(big_row, 0, g_row - 1 - pos)
+    total = int(rep.sum())
+    i_idx = np.repeat(np.arange(n), rep)
+    run_starts = np.cumsum(rep) - rep
+    j_idx = np.arange(total) - run_starts[i_idx] + i_idx + 1
+    trunc_pairs = 0
+    trunc_groups = int(big.sum())
+    if trunc_groups:
+        bs, bz = starts[big], sizes[big]
+        # star: first member ↔ every other member
+        cnt = bz - 1
+        su = np.repeat(bs, cnt)
+        off = np.cumsum(cnt) - cnt
+        sv = np.arange(int(cnt.sum())) - np.repeat(off, cnt) + su + 1
+        # chain: adjacent members (excluding the (first, second) star edge)
+        cntc = bz - 2
+        cu0 = np.repeat(bs + 1, cntc)
+        offc = np.cumsum(cntc) - cntc
+        cu = np.arange(int(cntc.sum())) - np.repeat(offc, cntc) + cu0
+        i_idx = np.concatenate([i_idx, su, cu])
+        j_idx = np.concatenate([j_idx, sv, cu + 1])
+        trunc_pairs = int((pairs_per_group[big] - (2 * bz - 3)).sum())
+    return i_idx, j_idx, trunc_pairs, trunc_groups

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from sick_ray.shuffle import first_mask, grouped_apply, mix64, sort_index
+from sick_ray.shuffle import grouped_apply, mix64, segment_pairs, sort_index
 
 from sick_ray.config import AnnConfig
 
@@ -153,12 +153,11 @@ def embedding_near_dup_edges(emb_ds, threshold: float = 0.95,
         m = emb_col_.flatten().to_numpy(zero_copy_only=False).reshape(len(part), dim)
         order = sort_index(bkt, ids)
         bk, idn = bkt[order], ids[order]
-        fm = first_mask(bk)
-        gid = np.cumsum(fm) - 1
-        firsts = np.flatnonzero(fm)
-        cand = ~fm
-        ui = order[firsts[gid[cand]]]
-        vi = order[cand]
+        # ALL within-bucket pairs (hub-spoke stars dropped true near-dup
+        # pairs when the hub was dissimilar to both — ADVICE.md r1)
+        i_idx, j_idx, _, _ = segment_pairs(bk, cap=65536)
+        ui = order[i_idx]
+        vi = order[j_idx]
         cos = np.einsum("ij,ij->i", m[ui].astype(np.float64), m[vi].astype(np.float64))
         keep = (cos >= threshold) & (ids[ui] != ids[vi])
         return pa.table(

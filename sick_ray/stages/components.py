@@ -6,26 +6,40 @@ distribution-safe analogue of the reference's dense insertion-ordered
 indexes (``DeduplicatingRefTableBuilder.scala:36-42`` assigns indexes in
 insertion order, which only works single-process).
 
-Two execution paths:
+Two execution paths, both returning a ``Dataset`` of (fp64, cluster_id):
 
 - **driver fold** (edges below ``cfg.driver_uf_max_edges``): stream edge
-  batches to the driver (`iter_batches`, narrow uint64 pairs) and fold them
+  batches to the driver (`iter_batches`, narrow int64 pairs) and fold them
   into a union-find with path-halving + min-root union. The fold is
-  order-independent, so Ray's unordered blocks are safe.
-- **sharded actors** (scale path): K ``UFShard`` actors, each unioning the
-  edges routed to ``shard = min(u, v) % K``; every shard then emits its
-  contracted ``(node, local_root)`` mapping, and the driver folds only the
-  contracted pairs (one per distinct node per shard — far smaller than the
-  edge list when clusters are large). This is the two-level contraction
-  pattern from distributed union-find literature (BTS, ICDE 2024 — see
-  PAPERS.md); actors hold only state re-buildable from the edges table, so
-  a lost actor is repopulated by replaying its shard's edges.
+  order-independent, so Ray's unordered blocks are safe. Fast, but driver
+  memory is O(duplicate nodes) — only used under the configured bound.
+- **alternating star rounds** (scale path): the Kiveris et al. 2014
+  ("Connected Components in MapReduce and Beyond", see PAPERS.md)
+  large-star/small-star algorithm expressed as grouped_apply shuffles over
+  the edges Dataset. Each round is two hash-partitioned vectorized passes;
+  the edge list monotonically contracts toward a star forest
+  (member → component-min) in O(log² n) rounds. NO per-node state ever
+  lands on the driver — per round the driver sees only an (edge-count,
+  checksum) pair for the fixpoint test. This is the path a 10¹²-doc run
+  takes; every message is a 16-byte (u, v) row.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from sick_ray.shuffle import U64, first_mask, grouped_apply, mix64, sort_index
+
+_POLY = U64(0x9E3779B185EBCA87)
+
+EMPTY_EDGES = pa.table(
+    {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
+)
+
+# hard safety bound; alternating-star converges in O(log² n) rounds
+# (~≤40 even at 2^64 nodes), so hitting this indicates a bug, not scale
+MAX_STAR_ROUNDS = 64
 
 
 class UnionFind:
@@ -67,65 +81,153 @@ class UnionFind:
         )
 
 
-def _uf_shard_cls():
-    import ray
+# ----------------------------------------------------- alternating star path
 
-    @ray.remote(num_cpus=1)
-    class UFShard:
-        def __init__(self):
-            self.uf = UnionFind()
-
-        def add_edges(self, us: np.ndarray, vs: np.ndarray) -> int:
-            self.uf.add_pairs(us, vs)
-            return len(us)
-
-        def contracted(self):
-            return self.uf.labels()
-
-    return UFShard
+def _dedup_pairs(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Drop duplicate (u, v) rows — keeps shuffle volume minimal."""
+    if len(u) == 0:
+        return u, v
+    order = sort_index(u, v)
+    us, vs = u[order], v[order]
+    keep = np.ones(len(us), dtype=bool)
+    keep[1:] = (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])
+    return us[keep], vs[keep]
 
 
-def connected_components(edges_ds, cfg) -> pa.Table:
-    """Edges Dataset (u, v) → labels Table (fp64, cluster_id). Only nodes
-    that appear in at least one edge are labeled; singletons keep their own
-    fp64 as cluster id downstream."""
-    n_edges = edges_ds.count()
-    if n_edges <= cfg.driver_uf_max_edges:
-        uf = UnionFind()
-        for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            uf.add_pairs(
-                batch.column("u").to_numpy(zero_copy_only=False),
-                batch.column("v").to_numpy(zero_copy_only=False),
-            )
-        nodes, roots = uf.labels()
-    else:
-        import ray
-
-        K = cfg.uf_shards
-        Shard = _uf_shard_cls()
-        shards = [Shard.remote() for _ in range(K)]
-        pending = []
-        for batch in edges_ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
-            u = batch.column("u").to_numpy(zero_copy_only=False)
-            v = batch.column("v").to_numpy(zero_copy_only=False)
-            sh = np.minimum(u, v) % K  # numpy int64 mod is non-negative
-            for k in range(K):
-                m = sh == k
-                if m.any():
-                    pending.append(shards[k].add_edges.remote(u[m], v[m]))
-            if len(pending) > 4 * K:          # backpressure
-                ready, pending = ray.wait(pending, num_returns=len(pending) - 2 * K)
-                pending = list(pending)
-        ray.get(pending)
-        uf = UnionFind()                       # fold contracted mappings
-        for nodes_k, roots_k in ray.get([s.contracted.remote() for s in shards]):
-            uf.add_pairs(nodes_k, roots_k)
-        for s in shards:
-            ray.kill(s)
-        nodes, roots = uf.labels()
+def _pairs_table(u: np.ndarray, v: np.ndarray) -> pa.Table:
     return pa.table(
-        {
-            "fp64": pa.array(nodes, type=pa.int64()),
-            "cluster_id": pa.array(roots, type=pa.int64()),
-        }
+        {"u": pa.array(u, type=pa.int64()), "v": pa.array(v, type=pa.int64())}
+    )
+
+
+def _emit_both_directions(batch: pa.Table) -> pa.Table:
+    """Map-side prep for large-star: each undirected edge as (u,v) and
+    (v,u), deduped within the batch."""
+    u = batch.column("u").to_numpy(zero_copy_only=False)
+    v = batch.column("v").to_numpy(zero_copy_only=False)
+    uu = np.concatenate([u, v])
+    vv = np.concatenate([v, u])
+    keep = uu != vv
+    return _pairs_table(*_dedup_pairs(uu[keep], vv[keep]))
+
+
+def _large_star_partition(part: pa.Table) -> pa.Table:
+    """All groups of one hash partition at once: for every node u with
+    neighborhood N(u), m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u),
+    v > u. Strictly-greater neighbors re-hang under the local min."""
+    if part.num_rows == 0:
+        return EMPTY_EDGES
+    u = part.column("u").to_numpy(zero_copy_only=False)
+    v = part.column("v").to_numpy(zero_copy_only=False)
+    order = sort_index(u, v)
+    us, vs = u[order], v[order]
+    fm = first_mask(us)
+    gid = np.cumsum(fm) - 1
+    m = np.minimum(vs[fm], us[fm])        # min over (sorted) N(u) ∪ {u}
+    sel = vs > us
+    return _pairs_table(*_dedup_pairs(vs[sel], m[gid[sel]]))
+
+
+def _orient_max_min(batch: pa.Table) -> pa.Table:
+    """Map-side prep for small-star: orient every edge (max, min)."""
+    u = batch.column("u").to_numpy(zero_copy_only=False)
+    v = batch.column("v").to_numpy(zero_copy_only=False)
+    hi = np.maximum(u, v)
+    lo = np.minimum(u, v)
+    keep = hi != lo
+    return _pairs_table(*_dedup_pairs(hi[keep], lo[keep]))
+
+
+def _small_star_partition(part: pa.Table) -> pa.Table:
+    """Input rows oriented (u=max, v=min): per node u, m = min neighbor;
+    emit (v, m) for each lesser neighbor v ≠ m plus (u, m)."""
+    if part.num_rows == 0:
+        return EMPTY_EDGES
+    u = part.column("u").to_numpy(zero_copy_only=False)
+    v = part.column("v").to_numpy(zero_copy_only=False)
+    order = sort_index(u, v)
+    us, vs = u[order], v[order]
+    fm = first_mask(us)
+    gid = np.cumsum(fm) - 1
+    m = vs[fm]                            # min neighbor (all neighbors < u)
+    mg = m[gid]
+    sel = vs != mg                        # lesser neighbors re-hang under m
+    out_u = np.concatenate([vs[sel], us[fm]])
+    out_v = np.concatenate([mg[sel], m])
+    return _pairs_table(*_dedup_pairs(out_u, out_v))
+
+
+def _edge_stats(edges_ds) -> tuple[int, int]:
+    """(count, order-independent checksum) — the only per-round driver
+    state of the scale path."""
+    n = 0
+    acc = U64(0)
+    for b in edges_ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        u = b.column("u").to_numpy(zero_copy_only=False).view(U64)
+        v = b.column("v").to_numpy(zero_copy_only=False).view(U64)
+        with np.errstate(over="ignore"):
+            acc += mix64(u * _POLY + v).sum(dtype=U64)
+        n += len(u)
+    return n, int(acc)
+
+
+def star_components(edges_ds, cfg):
+    """Distributed alternating-star connected components. Returns a Dataset
+    (fp64, cluster_id) labeling every non-root node with its component min;
+    roots (cluster_id == own fp64) are implicit, as are singletons."""
+    cur = edges_ds
+    prev_stats = None
+    for _ in range(MAX_STAR_ROUNDS):
+        ls = grouped_apply(
+            cur.map_batches(_emit_both_directions, batch_format="pyarrow", batch_size=None),
+            ["u"],
+            _large_star_partition,
+            num_partitions=cfg.num_partitions,
+        )
+        ss = grouped_apply(
+            ls.map_batches(_orient_max_min, batch_format="pyarrow", batch_size=None),
+            ["u"],
+            _small_star_partition,
+            num_partitions=cfg.num_partitions,
+        ).materialize()
+        stats = _edge_stats(ss)
+        cur = ss
+        if stats == prev_stats:
+            break
+        prev_stats = stats
+    else:
+        raise RuntimeError("alternating-star failed to converge (bug)")
+    # fixpoint: every edge is (member, component-min)
+    return cur.map_batches(
+        lambda b: pa.table({"fp64": b.column("u"), "cluster_id": b.column("v")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def connected_components(edges_ds, cfg):
+    """Edges Dataset (u, v) → labels Dataset (fp64, cluster_id). Only nodes
+    that appear in at least one edge are labeled (roots label themselves —
+    emitted explicitly by the driver path, implicitly absent from the star
+    path; downstream treats missing as cluster_id = own fp64)."""
+    import ray.data as rd
+
+    n_edges = edges_ds.count()
+    if n_edges > cfg.driver_uf_max_edges:
+        return star_components(edges_ds, cfg)
+    uf = UnionFind()
+    for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        uf.add_pairs(
+            batch.column("u").to_numpy(zero_copy_only=False),
+            batch.column("v").to_numpy(zero_copy_only=False),
+        )
+    nodes, roots = uf.labels()
+    keep = nodes != roots                 # match star path: roots implicit
+    return rd.from_arrow(
+        pa.table(
+            {
+                "fp64": pa.array(nodes[keep], type=pa.int64()),
+                "cluster_id": pa.array(roots[keep], type=pa.int64()),
+            }
+        )
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-from sick_ray.shuffle import first_mask, grouped_apply, sort_index, url_sort_key
+from sick_ray.shuffle import first_mask, grouped_apply
 from sick_ray.config import DedupConfig
 
 from sick_ray.xxh import xxh64_strings
@@ -41,13 +41,16 @@ def _keep_first_partition(part: pa.Table) -> pa.Table:
     """Vectorized keep-first over ALL fp64 groups in one hash partition:
     canonical row per fp64 = min (warc_ts, url). Commutative + associative
     with explicit tie-break, so Ray's unordered block execution cannot
-    change the result (SURVEY.md §4.2 "ordering")."""
+    change the result (SURVEY.md §4.2 "ordering"). The multi-key sort is
+    Arrow's C++ kernel — no Python object arrays on this reduce path."""
     if part.num_rows <= 1:
         return part
     fp = part.column("fp64").to_numpy(zero_copy_only=False)
-    ts = part.column("warc_ts").to_numpy(zero_copy_only=False)
-    url = url_sort_key(part.column("url"))
-    order = sort_index(fp, ts, url)
+    order = pc.sort_indices(
+        part,
+        sort_keys=[("fp64", "ascending"), ("warc_ts", "ascending"),
+                   ("url", "ascending")],
+    ).to_numpy(zero_copy_only=False)
     keep = order[first_mask(fp[order])]
     return part.take(pa.array(np.sort(keep)))
 
@@ -77,10 +80,4 @@ def partial_distinct(batch: pa.Table) -> pa.Table:
     fp = batch.column("fp64").to_numpy(zero_copy_only=False)
     if len(np.unique(fp)) == batch.num_rows:
         return batch
-    ts = batch.column("warc_ts").to_numpy(zero_copy_only=False)
-    url = np.asarray(batch.column("url").to_pylist())
-    order = np.lexsort((url, ts, fp))
-    fps = fp[order]
-    first = np.ones(len(fps), dtype=bool)
-    first[1:] = fps[1:] != fps[:-1]
-    return batch.take(pa.array(order[first]))
+    return _keep_first_partition(batch)

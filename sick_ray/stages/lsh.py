@@ -12,14 +12,16 @@ linear scan" — vectorized across every bucket of the partition at once
 Skew (north_rule): boilerplate-heavy pages hash thousands of docs into one
 bucket. Buckets above ``hot_bucket_threshold`` (found by a two-phase count
 pre-pass over narrow rows) are salted into ``salt_fanout`` sub-buckets
-keyed by fp64, bounding group size; each sub-bucket emits star edges plus
-one representative row, and a second tiny pass links the representatives
-of each hot bucket — full connectivity, bounded partitions. The wide
-``html``/``text`` payloads never enter any of these shuffles.
+keyed by fp64, bounding group size; each sub-bucket emits its candidate
+pairs plus one representative row, and a second tiny pass links the
+representatives of each hot bucket — full connectivity, bounded
+partitions. The wide ``html``/``text`` payloads never enter any of these
+shuffles.
 
-Star edges (min-member ↔ other members, |group|−1 edges) replace all-pairs
-emission, which would be quadratic in a boilerplate bucket; the candidate
-set is truncated at ``max_pairs_per_bucket`` per bucket as a hard skew cap.
+Candidate emission is ALL within-bucket pairs up to
+``max_pairs_per_bucket`` (all-pairs is what keeps signature verification
+recall-safe; see make_pair_emitter); oversized buckets degrade to
+star + chain edges with the shortfall surfaced as manifest counters.
 """
 
 from __future__ import annotations
@@ -34,7 +36,9 @@ from sick_ray.shuffle import (
     first_mask,
     grouped_apply,
     group_ids,
+    join_partitions,
     mix64,
+    segment_pairs,
     sort_index,
 )
 
@@ -138,11 +142,18 @@ def make_salter(hot_sorted: np.ndarray, fanout: int):
 
 # ----------------------------------------------------------- edge emission
 
-def make_star_emitter(cfg: DedupConfig):
-    """Per-partition vectorized star-edge builder over ALL buckets at once.
+def make_pair_emitter(cfg: DedupConfig):
+    """Per-partition vectorized candidate-pair builder over ALL buckets at
+    once (shuffle.segment_pairs): every within-bucket pair is emitted up to
+    ``max_pairs_per_bucket``; oversized buckets fall back to star + chain
+    edges with the shortfall counted. All-pairs (not hub-spoke stars) is
+    what makes signature verification recall-safe — with star edges two
+    similar members were never compared when the bucket's first member was
+    dissimilar to both (round-1 hub failure, ADVICE.md).
 
     Input rows: (bkt, sbkt, fp64, hot). Output: (u, v, bkt, kind) where
-    kind 0 = candidate edge, 1 = sub-bucket representative (hot only).
+    kind 0 = candidate edge, 1 = sub-bucket representative (hot only),
+    2 = counter row (u = truncated pairs, v = truncated buckets).
     """
     cap = cfg.max_pairs_per_bucket
 
@@ -165,28 +176,28 @@ def make_star_emitter(cfg: DedupConfig):
         # drop duplicate (sbkt, fp) rows
         fm_pair = first_mask(sb) | np.concatenate([[True], f[1:] != f[:-1]])
         sb, f, bk, ht = sb[fm_pair], f[fm_pair], bk[fm_pair], ht[fm_pair]
-        fm = first_mask(sb)
-        gid = np.cumsum(fm) - 1
-        firsts = f[fm]                        # min fp per bucket (sorted order)
-        pos_in_group = np.arange(len(sb)) - np.flatnonzero(fm)[gid]
-        is_edge = (~fm) & (pos_in_group <= cap)
-        u = firsts[gid[is_edge]]
-        v = f[is_edge]
-        e_bkt = bk[is_edge]
+        i_idx, j_idx, trunc_pairs, trunc_buckets = segment_pairs(sb, cap)
+        u = f[i_idx]
+        v = f[j_idx]
+        e_bkt = bk[i_idx]
         # representatives: first row of each HOT sub-bucket
+        fm = first_mask(sb)
         rep = fm & ht
-        out_u = np.concatenate([u, f[rep]])
-        out_v = np.concatenate([v, f[rep]])
-        out_b = np.concatenate([e_bkt, bk[rep]])
-        out_k = np.concatenate(
-            [np.zeros(len(u), dtype=np.int8), np.ones(int(rep.sum()), dtype=np.int8)]
-        )
+        out_u = [u, f[rep]]
+        out_v = [v, f[rep]]
+        out_b = [e_bkt, bk[rep]]
+        out_k = [np.zeros(len(u), dtype=np.int8), np.ones(int(rep.sum()), dtype=np.int8)]
+        if trunc_pairs or trunc_buckets:
+            out_u.append(np.array([trunc_pairs], dtype=np.int64))
+            out_v.append(np.array([trunc_buckets], dtype=np.int64))
+            out_b.append(np.zeros(1, dtype=np.int64))
+            out_k.append(np.full(1, 2, dtype=np.int8))
         return pa.table(
             {
-                "u": pa.array(out_u, type=pa.int64()),
-                "v": pa.array(out_v, type=pa.int64()),
-                "bkt": pa.array(out_b, type=pa.int64()),
-                "kind": pa.array(out_k, type=pa.int8()),
+                "u": pa.array(np.concatenate(out_u), type=pa.int64()),
+                "v": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "bkt": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "kind": pa.array(np.concatenate(out_k), type=pa.int8()),
             }
         )
 
@@ -233,20 +244,29 @@ def _kind_filter(kind: int):
     return f
 
 
-def candidate_edges(sig_ds, cfg: DedupConfig):
+def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None):
     """Signatures Dataset (fp64, band_hash, …) → candidate edge Dataset
     (u:int64, v:int64). One narrow-row shuffle for the count pre-pass, one
     for the bucket groups, one tiny one for hot-bucket representatives.
 
     The band-rows table (16 B/row) is materialized once and reused by the
     pre-pass and the bucket shuffle so the upstream minhash chain is not
-    recomputed."""
+    recomputed.
+
+    ``counters``: optional dict filled in place with the skew-cap metrics
+    (truncated_pairs / truncated_buckets / hot_buckets) — no silent caps:
+    callers surface these into the stage manifest."""
     band_rows = sig_ds.map_batches(explode_bands, batch_format="pyarrow", batch_size=None).materialize()
     hot = hot_buckets(band_rows, cfg)
     salted = band_rows.map_batches(make_salter(hot, cfg.salt_fanout), batch_format="pyarrow")
     raw = grouped_apply(
-        salted, ["sbkt"], make_star_emitter(cfg), num_partitions=cfg.num_partitions
+        salted, ["sbkt"], make_pair_emitter(cfg), num_partitions=cfg.num_partitions
     ).materialize()
+    if counters is not None:
+        cnt = raw.map_batches(_kind_filter(2), batch_format="pyarrow").to_pandas()
+        counters["truncated_pairs"] = int(cnt["u"].sum()) if len(cnt) else 0
+        counters["truncated_buckets"] = int(cnt["v"].sum()) if len(cnt) else 0
+        counters["hot_buckets"] = int(len(hot))
     edges = raw.map_batches(_kind_filter(0), batch_format="pyarrow").select_columns(["u", "v"])
     reps = raw.map_batches(_kind_filter(1), batch_format="pyarrow")
     rep_edges = grouped_apply(
@@ -305,22 +325,21 @@ def verify_edges_join(edges_ds, sig_ds, threshold: float, num_partitions: int):
         width = batch.column("sig").type.list_size
         mat = np.ascontiguousarray(fsl_to_numpy(batch.column("sig"), width))
         nbytes = mat.dtype.itemsize * width
-        blob = mat.view(np.uint8).reshape(len(batch), nbytes)
-        return pa.table(
-            {
-                "fp64": batch.column("fp64"),
-                "sigb": pa.array(list(blob.tobytes(order="C")[i * nbytes:(i + 1) * nbytes]
-                                      for i in range(len(batch))), type=pa.binary()),
-            }
+        # zero-copy: wrap the contiguous signature matrix as a
+        # fixed_size_binary column directly from its buffer (round 1 sliced
+        # python bytes per row — exactly on the scale path where n is big)
+        sigb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(nbytes), len(batch), [None, pa.py_buffer(mat.data)]
         )
+        return pa.table({"fp64": batch.column("fp64"), "sigb": sigb})
 
     su = sig_ds.select_columns(["fp64", "sig"]).map_batches(to_blob, batch_format="pyarrow")
     j1 = edges_ds.join(
-        su, join_type="inner", num_partitions=num_partitions,
+        su, join_type="inner", num_partitions=join_partitions(num_partitions),
         on=("u",), right_on=("fp64",), right_suffix="_su",
     )
     j2 = j1.join(
-        su, join_type="inner", num_partitions=num_partitions,
+        su, join_type="inner", num_partitions=join_partitions(num_partitions),
         on=("v",), right_on=("fp64",), left_suffix="_l", right_suffix="_sv",
     )
 
@@ -332,6 +351,15 @@ def verify_edges_join(edges_ds, sig_ds, threshold: float, num_partitions: int):
         s2 = next(c for c in names if c.startswith("sigb") and c.endswith("_sv"))
 
         def mat(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_fixed_size_binary(col.type):
+                # zero-copy read of the packed data buffer
+                w = col.type.byte_width
+                off = col.offset * w
+                buf = np.frombuffer(col.buffers()[1], dtype=np.uint32,
+                                    count=len(col) * w // 4, offset=off)
+                return buf.reshape(len(col), -1)
             blobs = col.to_pylist()
             return np.frombuffer(b"".join(blobs), dtype=np.uint32).reshape(len(blobs), -1)
 

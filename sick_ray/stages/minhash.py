@@ -46,21 +46,26 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 _TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
 
+# byte-level lowercase + word-char tables for the ASCII fast path: the
+# tokenizer [^\W_]+ on lowercased ASCII text is exactly "maximal runs of
+# [0-9a-z] after A-Z→a-z", so pure byte ops reproduce the regex bit-exactly
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[65:91] += 32
+_WORD_LUT = np.zeros(256, dtype=bool)
+_WORD_LUT[ord("0"):ord("9") + 1] = True
+_WORD_LUT[ord("a"):ord("z") + 1] = True
 
-def tokenize_hashes(texts: list[str], seed: int = 0):
-    """All docs' token hashes packed flat. Returns (token_hashes uint64,
-    doc_offsets int64[n+1])."""
+
+def _regex_token_hashes(texts: list[str], seed: int):
+    """Per-doc regex path (exact Unicode semantics) — the non-ASCII
+    fallback. Returns (token_hashes uint64 flat, counts int64 per doc)."""
     tok_lists = [_TOKEN_RE.findall(t.lower()) if t else [] for t in texts]
     counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    total = int(offsets[-1])
+    total = int(counts.sum())
     if total == 0:
-        return np.empty(0, dtype=np.uint64), offsets
+        return np.empty(0, dtype=np.uint64), counts
     payload = "\x00".join(w for toks in tok_lists for w in toks).encode("utf-8")
     buf = np.frombuffer(payload, dtype=np.uint8)
-    # per-token byte offsets from the NUL separators (tokens are \w+ runs,
-    # never containing NUL) — no second encode pass over the tokens
     seps = np.flatnonzero(buf == 0)
     starts = np.zeros(total, dtype=np.int64)
     starts[1:] = seps + 1
@@ -68,7 +73,98 @@ def tokenize_hashes(texts: list[str], seed: int = 0):
     ends[:-1] = seps
     ends[-1] = len(buf)
     th = xxh64_batch(buf, starts, ends - starts, seed)
-    return th, offsets
+    return th, counts
+
+
+def _string_col_buffers(col):
+    """(utf8 byte buffer uint8, per-doc byte offsets int64[n+1]) zero-copy
+    from an Arrow string column (nulls read as empty)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
+        odt = np.int64
+    else:
+        odt = np.int32
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt)[col.offset: col.offset + len(col) + 1]
+    offs = offs.astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    # restrict to this column's byte range (sliced arrays share buffers)
+    data = data[offs[0]: offs[-1] if len(offs) else 0]
+    offs = offs - (offs[0] if len(offs) else 0)
+    return data, offs
+
+
+def tokenize_hashes_col(col, seed: int = 0):
+    """All docs' token hashes packed flat, zero-copy from an Arrow string
+    column. Returns (token_hashes uint64, doc_offsets int64[n+1]).
+
+    ASCII docs take the vectorized byte path (lowercase LUT + run masks +
+    one packed xxh64 batch over the column's own buffer — no Python per
+    doc); docs containing non-ASCII bytes fall back to the exact Unicode
+    regex per doc and are merged back in doc order. Round 1 measured the
+    per-doc regex at ~60% of the minhash stage's CPU.
+    """
+    if getattr(col, "null_count", 0):
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(col, "")
+    n = len(col)
+    buf, offs = _string_col_buffers(col)
+    doc_lo, doc_hi = offs[:-1], offs[1:]
+    # non-ASCII docs → regex fallback
+    ascii_doc = np.ones(n, dtype=bool)
+    na_pos = np.flatnonzero(buf >= 0x80)
+    if len(na_pos):
+        ascii_doc[np.unique(np.searchsorted(doc_hi, na_pos, side="right"))] = False
+    low = _LOWER_LUT[buf]
+    wc = _WORD_LUT[low]
+    # token starts/ends: word-char runs, force-split at doc boundaries
+    start_m = wc.copy()
+    start_m[1:] &= ~wc[:-1]
+    end_m = wc.copy()
+    end_m[:-1] &= ~wc[1:]
+    bnd = doc_lo[(doc_lo > 0) & (doc_lo < len(buf))]
+    start_m[bnd] = wc[bnd]
+    end_m[bnd - 1] = wc[bnd - 1]
+    t_start = np.flatnonzero(start_m)
+    t_end = np.flatnonzero(end_m) + 1
+    t_doc = np.searchsorted(doc_hi, t_start, side="right")
+    keep = ascii_doc[t_doc]
+    t_start, t_end, t_doc = t_start[keep], t_end[keep], t_doc[keep]
+    counts = np.zeros(n, dtype=np.int64)
+    np.add.at(counts, t_doc, 1)
+    th_a = xxh64_batch(low, t_start, t_end - t_start, seed)
+    if ascii_doc.all():
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return th_a, offsets
+    # merge regex-tokenized non-ASCII docs back in doc order
+    na_idx = np.flatnonzero(~ascii_doc)
+    th_r, counts_r = _regex_token_hashes(
+        [col[int(i)].as_py() for i in na_idx], seed
+    )
+    counts[na_idx] = counts_r
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    out = np.empty(int(offsets[-1]), dtype=np.uint64)
+    if len(t_start):
+        first_tok = np.searchsorted(t_doc, t_doc, side="left")
+        out[offsets[t_doc] + (np.arange(len(t_doc)) - first_tok)] = th_a
+    if len(th_r):
+        roff = np.zeros(len(na_idx) + 1, dtype=np.int64)
+        np.cumsum(counts_r, out=roff[1:])
+        r_tok_doc = np.repeat(na_idx, counts_r)
+        within = np.arange(len(th_r)) - np.repeat(roff[:-1], counts_r)
+        out[offsets[r_tok_doc] + within] = th_r
+    return out, offsets
+
+
+def tokenize_hashes(texts: list[str], seed: int = 0):
+    """List-of-str convenience wrapper over :func:`tokenize_hashes_col`."""
+    return tokenize_hashes_col(
+        pa.array(["" if t is None else t for t in texts], type=pa.string()), seed
+    )
 
 
 def shingle_hashes(token_hashes: np.ndarray, doc_offsets: np.ndarray, k: int):
@@ -181,8 +277,12 @@ class MinHasher:
         self.b = rng.integers(0, 1 << 63, size=cfg.num_perm, dtype=np.uint64)
         self._scratch = np.empty(0, dtype=np.uint64)   # grown lazily, reused
 
-    def signatures(self, texts: list[str]) -> np.ndarray:
-        th, toff = tokenize_hashes(texts, seed=self.cfg.seed)
+    def signatures(self, texts) -> np.ndarray:
+        """``texts``: list[str] or Arrow string column (zero-copy path)."""
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            th, toff = tokenize_hashes_col(texts, seed=self.cfg.seed)
+        else:
+            th, toff = tokenize_hashes(texts, seed=self.cfg.seed)
         sh, soff = shingle_hashes(th, toff, self.cfg.shingle_k)
         if len(sh) > len(self._scratch):
             self._scratch = np.empty(int(len(sh) * 1.25), dtype=np.uint64)
@@ -190,9 +290,10 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Append sig + band_hash, drop the wide text/html columns — the
-        output is the narrow derived table that feeds every shuffle."""
-        texts = batch.column("text").to_pylist()
-        sig = self.signatures(texts)
+        output is the narrow derived table that feeds every shuffle. The
+        text column goes to the tokenizer as its Arrow buffers (no
+        to_pylist round-trip)."""
+        sig = self.signatures(batch.column("text"))
         bh = band_hashes(sig, self.cfg.bands, self.cfg.rows_per_band)
         out = batch.drop_columns(
             [c for c in ("text", "html") if c in batch.column_names]

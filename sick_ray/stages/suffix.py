@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from sick_ray.shuffle import first_mask, grouped_apply, sort_index
+from sick_ray.shuffle import first_mask, grouped_apply, join_partitions, sort_index
 from sick_ray.xxh import xxh64_strings
 
 from sick_ray.config import DedupConfig
@@ -392,7 +392,7 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
         )
         if n_docs_hint is not None and n_docs_hint > BROADCAST_URLMAP_LIMIT:
             return merged.join(
-                url_map_ds, join_type="inner", num_partitions=cfg.num_partitions,
+                url_map_ds, join_type="inner", num_partitions=join_partitions(cfg.num_partitions),
                 on=("uhash",), right_on=("uhash",),
             ).select_columns(["url", "start", "end"])
         pairs = url_map_ds.to_pandas()

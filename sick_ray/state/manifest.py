@@ -33,6 +33,24 @@ def stage_fingerprint(*parts) -> str:
     return f"{xxh64(blob):016x}"
 
 
+def input_signature(path: str) -> str:
+    """Content identity of an input path: file list + sizes + mtimes.
+    Folding this into the stage fingerprint means editing the input parquet
+    in place invalidates checkpoints instead of silently resuming on stale
+    data (a path string alone cannot tell the difference)."""
+    entries = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            fp = os.path.join(path, name)
+            if os.path.isfile(fp):
+                st = os.stat(fp)
+                entries.append((name, st.st_size, int(st.st_mtime_ns)))
+    elif os.path.isfile(path):
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, int(st.st_mtime_ns)))
+    return stage_fingerprint(path, entries)
+
+
 def manifest_path(stage_dir: str) -> str:
     return os.path.join(stage_dir, MANIFEST_NAME)
 
