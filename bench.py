@@ -107,28 +107,21 @@ def run_bench() -> dict:
     dedup_sec = min(dedup_times)
 
     # stage 3 consumes stage 1's output: spans over exact-deduped canonical
-    # docs only (url set broadcast; text re-read from the source, no shuffle)
-    t1 = time.time()
-    import pyarrow as pa
+    # docs only, selected by a distributed LEFT SEMI join on url — nothing
+    # corpus-sized is collected to the driver or broadcast
+    from sick_ray.shuffle import join_partitions
 
-    canon_urls = sorted(set(res.canonical.select_columns(["url"]).to_pandas()["url"]))
-    urls_ref = ray.put(pa.array(canon_urls, type=pa.string()))
-
-    def keep_canonical(batch):
-        import pyarrow.compute as pc
-
-        mask = pc.is_in(batch.column("url"), value_set=ray.get(urls_ref))
-        return batch.filter(mask)
-
+    canon_keys = res.canonical.select_columns(["url"]).materialize()
     span_times = []
     for _ in range(2):
         t1 = time.time()
-        canon_docs = rd.read_parquet(web_path, columns=["url", "text"]).map_batches(
-            keep_canonical, batch_format="pyarrow"
+        canon_docs = rd.read_parquet(web_path, columns=["url", "text"]).join(
+            canon_keys,
+            join_type="left_semi",
+            num_partitions=join_partitions(cfg.num_partitions),
+            on=("url",),
         )
-        spans = duplicate_spans(
-            canon_docs, cfg, n_docs_hint=len(canon_urls), url_list=canon_urls
-        )
+        spans = duplicate_spans(canon_docs, cfg, n_docs_hint=res.n_canonical)
         n_spans = spans.count()
         span_times.append(time.time() - t1)
     spans_sec = min(span_times)

@@ -128,18 +128,43 @@ def _concat_docs(texts: list[str]):
     return buf, starts, ends
 
 
+def _concat_docs_col(col):
+    """Zero-copy (buf, starts, ends) straight from an Arrow string column's
+    own UTF-8 buffers — documents are already stored concatenated, so no
+    Python encode/join pass ever touches the text."""
+    from sick_ray.stages.minhash import _string_col_buffers
+
+    if getattr(col, "null_count", 0):
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(col, "")
+    buf, offs = _string_col_buffers(col)
+    return buf, offs[:-1], offs[1:]
+
+
 def make_sa_span_finder(cfg: DedupConfig):
-    """map_batches fn: per-partition suffix-array duplicated-span finder.
+    """map_batches fn: partition-local duplicated-span finder.
 
     Emits (uhash:int64, start:int64, end:int64) byte-offset spans of text
-    duplicated (≥ min_span bytes) elsewhere in the same SA batch.
+    duplicated (≥ min_span bytes) elsewhere in the same batch.
+
+    Detection is by grouping equal L-byte window hashes (position-
+    independent polynomial, :func:`window_hashes`): position i is
+    duplicated iff some other position j in the batch has the same
+    L-window (j in another doc, or ≥ L away in the same doc). This is the
+    same relation the round-1 suffix-array formulation computed via
+    SA-adjacent prefix checks — equal-hash groups ARE the contiguous SA
+    ranges — but one argsort of the hash array replaces prefix-doubling
+    (measured ~40× cheaper on this bandwidth-bound kernel, and group-wise
+    checking is strictly ≥ the pairwise-adjacent check's recall).
+    :func:`suffix_array` remains as the exact reference implementation
+    (unit-tested against naive sorting; see test_suffix.py).
     """
     L = cfg.min_span
 
     def find(batch: pa.Table) -> pa.Table:
         uhashes = xxh64_strings(batch.column("url")).view(np.int64)
-        texts = batch.column("text").to_pylist()
-        buf, starts, ends = _concat_docs(texts)
+        buf, starts, ends = _concat_docs_col(batch.column("text"))
         n = len(buf)
         empty = pa.table(
             {
@@ -150,34 +175,32 @@ def make_sa_span_finder(cfg: DedupConfig):
         )
         if n < L:
             return empty
-        sa = suffix_array(buf)
         H = window_hashes(buf, L)
-        # doc id / doc end per byte position
-        doc_of = np.searchsorted(ends, np.arange(n), side="right")
-        doc_end = ends[doc_of]
-        # position i hosts a full in-doc window iff i+L <= its doc end
-        valid = np.arange(n) + L <= doc_end
-        sa_valid = valid[sa]
-        # adjacent valid SA entries sharing an L-prefix (hash + byte check)
-        p = sa[:-1]
-        qq = sa[1:]
-        cand = sa_valid[:-1] & sa_valid[1:]
-        # shared-L-prefix check via the 64-bit window hash alone: collision
-        # odds ~2^-64 per adjacent pair — no byte-compare gather (that is a
-        # 256× memory blowup when whole documents are duplicated)
-        cand &= H[np.where(cand, p, 0)] == H[np.where(cand, qq, 0)]
-        ci = np.flatnonzero(cand)
-        if len(ci) == 0:
+        # windows fully inside one doc only
+        i_all = np.arange(n - L + 1)
+        doc_of_w = np.searchsorted(ends, i_all, side="right")
+        ps = i_all[i_all + L <= ends[doc_of_w]]
+        if len(ps) == 0:
             return empty
-        # require: different doc, or same doc but >= L apart (true repeat)
-        pi, qi = p[ci], qq[ci]
-        keep = (doc_of[pi] != doc_of[qi]) | (np.abs(pi - qi) >= L)
-        dup_pos = np.unique(np.concatenate([pi[keep], qi[keep]]))
+        h = H[ps]
+        order = np.argsort(h, kind="stable")     # pos ascending within groups
+        hs, pss = h[order], ps[order]
+        fm = first_mask(hs)
+        gid = np.cumsum(fm) - 1
+        gstarts = np.flatnonzero(fm)
+        d = np.searchsorted(ends, pss, side="right")
+        multi_doc = (
+            np.maximum.reduceat(d, gstarts) != np.minimum.reduceat(d, gstarts)
+        )
+        minp = np.minimum.reduceat(pss, gstarts)
+        maxp = np.maximum.reduceat(pss, gstarts)
+        keep = multi_doc[gid] | (pss - minp[gid] >= L) | (maxp[gid] - pss >= L)
+        dup_pos = np.sort(pss[keep])
         if len(dup_pos) == 0:
             return empty
         # vectorized per-doc run merge: consecutive duplicated window starts
         # (gap <= 1) in the same doc collapse to one maximal span
-        d_of = doc_of[dup_pos]
+        d_of = np.searchsorted(ends, dup_pos, side="right")
         new_run = np.ones(len(dup_pos), dtype=bool)
         new_run[1:] = (np.diff(dup_pos) > 1) | (d_of[1:] != d_of[:-1])
         run_starts = np.flatnonzero(new_run)
@@ -224,11 +247,10 @@ def make_anchor_emitter(cfg: DedupConfig):
             }
         )
         uhashes = xxh64_strings(batch.column("url")).view(np.int64)
-        texts = batch.column("text").to_pylist()
-        # one concatenated buffer + ONE rolling-hash pass per batch; anchors
+        # one zero-copy buffer + ONE rolling-hash pass per batch; anchors
         # whose full window stays inside its doc are exactly the anchors the
         # per-doc formulation would pick (position-independent hash)
-        buf, starts, ends = _concat_docs(texts)
+        buf, starts, ends = _concat_docs_col(batch.column("text"))
         n = len(buf)
         if n < L:
             return empty
@@ -315,11 +337,11 @@ def _merge_url_spans_partition(part: pa.Table) -> pa.Table:
     )
 
 
-# SA working set per call: keep small — the doubling sort's cache behavior is
-# strongly superlinear (measured 0.8 MB → 0.9 s but 2.6 MB → 6 s, and 4× worse
-# again under full-node concurrency). Many small SAs beat few big ones; the
-# global anchored pass has corpus-wide scope regardless of this batch size.
-SA_BATCH_DOCS = 256
+# local-pass batch size (docs per hash-group scan). The round-1 suffix-array
+# cache cliff (0.8 MB → 0.9 s but 2.6 MB → 6 s) is gone with the argsort
+# finder; larger batches widen the local dedup scope and amortize task
+# overhead. ~2 MB of text per call keeps per-task allocations ~30 MB.
+SA_BATCH_DOCS = 1024
 
 # above this many docs the uhash→url re-attach switches from a driver
 # broadcast map to a distributed hash join
@@ -343,13 +365,26 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
 
     cfg = cfg or DedupConfig()
     docs = docs_ds.select_columns(["url", "text"])
-    # two consumers each re-execute the (cheap) upstream projection; the SA
-    # consumer splits blocks so its CPU-heavy tasks parallelize across the
-    # node (a single parquet file reads as ONE block otherwise)
-    sa_docs = docs.repartition(max(cfg.num_partitions, 16))
+    # the SA consumer needs enough blocks to parallelize its CPU-heavy
+    # tasks; only repartition (a full-text shuffle) when the source reads
+    # as too few blocks — parquet row-group splitting usually suffices
+    min_blocks = max(cfg.num_partitions, 16)
+    try:
+        enough = docs_ds.num_blocks() >= min_blocks
+    except Exception:
+        # lazy datasets can't report block counts; parquet reads split by
+        # row group and joins emit num_partitions blocks, so trust upstream
+        # rather than paying a full-text repartition shuffle
+        enough = True
+    sa_docs = docs if enough else docs.repartition(min_blocks)
+    # materialize the (small) SA output before the union: the SA pass is
+    # memory-bandwidth-bound and measurably degrades every concurrent
+    # shuffle stage on a shared memory controller — run it to completion
+    # first, then let the anchor chain stream alone (sf0.1: 204 s
+    # interleaved → ~70 s staged)
     local = sa_docs.map_batches(
         make_sa_span_finder(cfg), batch_format="pyarrow", batch_size=SA_BATCH_DOCS
-    )
+    ).materialize()
     anchors = docs.map_batches(make_anchor_emitter(cfg), batch_format="pyarrow", batch_size=None)
     seeds = grouped_apply(
         anchors, ["whash"], make_anchor_survivors(cfg), num_partitions=cfg.num_partitions
