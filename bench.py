@@ -107,20 +107,21 @@ def run_bench() -> dict:
     dedup_sec = min(dedup_times)
 
     # stage 3 consumes stage 1's output: spans over exact-deduped canonical
-    # docs only, selected by a distributed LEFT SEMI join on url — nothing
-    # corpus-sized is collected to the driver or broadcast
-    from sick_ray.shuffle import join_partitions
+    # docs only — semi_select gates between a bounded broadcast filter
+    # (small key sets; wide text never moves) and a left-semi join (scale)
+    from sick_ray.shuffle import semi_select
 
     canon_keys = res.canonical.select_columns(["url"]).materialize()
     span_times = []
     for _ in range(2):
         t1 = time.time()
-        canon_docs = rd.read_parquet(web_path, columns=["url", "text"]).join(
-            canon_keys,
-            join_type="left_semi",
-            num_partitions=join_partitions(cfg.num_partitions),
-            on=("url",),
-        )
+        # materialize once: duplicate_spans fans out to three consumers,
+        # each of which would re-execute a lazy input
+        canon_docs = semi_select(
+            rd.read_parquet(web_path, columns=["url", "text"]),
+            canon_keys, on="url", num_partitions=cfg.num_partitions,
+            n_keys_hint=res.n_canonical,
+        ).materialize()
         spans = duplicate_spans(canon_docs, cfg, n_docs_hint=res.n_canonical)
         n_spans = spans.count()
         span_times.append(time.time() - t1)

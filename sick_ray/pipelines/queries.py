@@ -977,6 +977,108 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
 
 
+def q_json_subtree_stats(sf_dir: str):
+    """Arbitrary nested-JSON traversal + subtree hash-consing
+    (functions/traverse.py — the CirceTraverser.traverse analogue): build
+    a nested document per event, flatten every subtree bottom-up with
+    structural hashes, and measure corpus-wide structural sharing
+    (total vs distinct subtrees per kind), i.e. sick's dedup effect."""
+    from sick_ray.functions.traverse import subtree_stats
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "props"])
+
+    def build_doc(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch.column("event_id"), pa.string())
+        uid = pc.cast(batch.column("user_id"), pa.string())
+        j = pc.binary_join_element_wise(
+            '{"meta":{"ids":[', eid, ",", uid, '],"type":"',
+            batch.column("event_type"), '"},"p":', batch.column("props"), "}",
+            "",
+        )
+        return pa.table({"event_id": batch.column("event_id"), "j": j})
+
+    docs = ev.map_batches(build_doc, batch_format="pyarrow")
+    return subtree_stats(docs, col="j", id_col="event_id", num_partitions=8)
+
+
+# per doc {"meta":{"ids":[eid,uid],"type":t},"p":{"k":k}}: subtrees are
+# 3 ints (eid, uid, k), 1 str (t), 1 arr ([eid,uid]), 3 objs (meta, p,
+# root). Distincts: ints = |{eid} ∪ {uid} ∪ {k}| as values; arr/meta/root
+# are unique per row (event_id is a key); p objects = distinct k.
+SQL_JSON_SUBTREE_STATS = """
+WITH k AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS kv FROM events)
+SELECT * FROM (
+  SELECT 'arr' AS kind, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_distinct FROM events
+  UNION ALL
+  SELECT 'int', CAST(3 * count(*) AS BIGINT),
+         (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT event_id AS v FROM events
+             UNION SELECT user_id FROM events
+             UNION SELECT kv FROM k))
+  FROM events
+  UNION ALL
+  SELECT 'obj', CAST(3 * count(*) AS BIGINT),
+         CAST(2 * count(*) + (SELECT count(DISTINCT kv) FROM k) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'str', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+) ORDER BY kind
+"""
+
+
+def q_lineitem_decimal_totals(sf_dir: str):
+    """Exact decimal money totals (functions/narrow.py decimal_sum — the
+    reference's BigDecimal path, EBACodecs.scala:367-400): integer
+    scaled-unit arithmetic end to end, totals rendered as canonical
+    decimal strings. No float accumulation anywhere."""
+    from sick_ray.functions.narrow import decimal_sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return decimal_sum(li, "l_extendedprice", "l_returnflag")
+
+
+SQL_LINEITEM_DECIMAL_TOTALS = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS total
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_narrow_int_widths(sf_dir: str):
+    """Lossless minimal-width selection per integer column (functions/
+    narrow.py — the byte/short/int/long ladder of
+    CirceTraverser.scala:101-156): global min/max aggregate → width."""
+    from sick_ray.functions.narrow import narrow_types
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    li = _read(sf_dir, "lineitem", columns=cols)
+    types = narrow_types(li, cols)
+    names = sorted(types)
+    return pa.table(
+        {
+            "col": pa.array(names, type=pa.string()),
+            "width": pa.array([types[c][1] for c in names], type=pa.int64()),
+        }
+    )
+
+
+SQL_NARROW_INT_WIDTHS = """
+SELECT col, CAST(CASE WHEN lo >= -128 AND hi <= 127 THEN 1
+                      WHEN lo >= -32768 AND hi <= 32767 THEN 2
+                      WHEN lo >= -2147483648 AND hi <= 2147483647 THEN 4
+                      ELSE 8 END AS BIGINT) AS width
+FROM (
+  SELECT 'l_orderkey' AS col, min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem
+  UNION ALL SELECT 'l_partkey', min(l_partkey), max(l_partkey) FROM lineitem
+  UNION ALL SELECT 'l_suppkey', min(l_suppkey), max(l_suppkey) FROM lineitem
+  UNION ALL SELECT 'l_linenumber', min(l_linenumber), max(l_linenumber) FROM lineitem
+) ORDER BY col
+"""
+
+
 def q_winnow_fp_docs(sf_dir: str):
     from sick_ray.functions.text import add_winnow_fingerprint
 
@@ -1020,6 +1122,9 @@ QUERIES = {
     "user_running_value": q_user_running_value,
     "prev_event_value": q_prev_event_value,
     "shipping_priority": q_shipping_priority,
+    "json_subtree_stats": q_json_subtree_stats,
+    "lineitem_decimal_totals": q_lineitem_decimal_totals,
+    "narrow_int_widths": q_narrow_int_widths,
 }
 
 ORACLES = {
@@ -1046,6 +1151,9 @@ ORACLES = {
     "user_running_value": SQL_USER_RUNNING_VALUE,
     "prev_event_value": SQL_PREV_EVENT_VALUE,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "json_subtree_stats": SQL_JSON_SUBTREE_STATS,
+    "lineitem_decimal_totals": SQL_LINEITEM_DECIMAL_TOTALS,
+    "narrow_int_widths": SQL_NARROW_INT_WIDTHS,
     # dedup_clusters_docs / doc_spans / simhash_docs / lang_id_docs /
     # quality_docs / knn_lsh_embeddings / media_decode: not SQL-expressible
     # (stateful hashing / heuristic scoring / LSH) → rows-only checks.

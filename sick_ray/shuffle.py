@@ -128,6 +128,40 @@ def join_partitions(requested: int) -> int:
     return max(2, min(requested, cpus))
 
 
+# keys at or below this count are broadcast (ray.put once, read per task);
+# larger key sets switch to a distributed left-semi join so no O(corpus)
+# structure ever lands on the driver
+BROADCAST_KEYS_LIMIT = 2_000_000
+
+
+def semi_select(input_ds, keys_ds, on: str, num_partitions: int,
+                n_keys_hint: int | None = None):
+    """Keep input rows whose ``on`` value appears in ``keys_ds`` —
+    broadcast filter under BROADCAST_KEYS_LIMIT keys (the wide payload
+    never moves), LEFT SEMI hash join above it (nothing driver-sized)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    n_keys = keys_ds.count() if n_keys_hint is None else n_keys_hint
+    if n_keys > BROADCAST_KEYS_LIMIT:
+        return input_ds.join(
+            keys_ds,
+            join_type="left_semi",
+            num_partitions=join_partitions(num_partitions),
+            on=(on,),
+        )
+    keys = pa.concat_tables(
+        list(keys_ds.iter_batches(batch_size=262144, batch_format="pyarrow"))
+    ).column(on).combine_chunks()
+    ref = ray.put(keys)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(on), value_set=ray.get(ref)))
+
+    return input_ds.map_batches(flt, batch_format="pyarrow")
+
+
 def segment_pairs(sorted_keys: np.ndarray, cap: int):
     """Within-group index pairs over a key-sorted array, vectorized across
     ALL groups at once.

@@ -35,7 +35,6 @@ from sick_ray.shuffle import (
     U64,
     first_mask,
     grouped_apply,
-    group_ids,
     join_partitions,
     mix64,
     segment_pairs,

@@ -8,13 +8,15 @@ verbatim duplicated spans ≥ ``min_span`` bytes.
 
 Two complementary passes:
 
-1. **Partition-local suffix array** (exact, intra-partition): each
-   ``map_batches`` batch concatenates its docs' UTF-8 bytes, builds a
-   suffix array by prefix-doubling (NumPy argsort, O(n log² n)), and marks
-   positions whose SA-adjacent suffix shares a prefix of ≥ L bytes —
-   checked in O(1) via precomputed 64-bit polynomial window hashes
-   (collision odds ~2⁻⁶⁴ per adjacent pair). Runs of duplicated positions
-   merge into maximal spans per doc, fully vectorized.
+1. **Partition-local window-hash pass** (intra-partition): each
+   ``map_batches`` batch reads its docs' UTF-8 bytes zero-copy, computes a
+   position-independent 64-bit polynomial hash of every L-byte window and
+   groups equal hashes (one argsort) — position i is duplicated iff
+   another position shares its window (other doc, or ≥ L away; collision
+   odds ~2⁻⁶⁴ per pair, the same assumption the round-1 suffix-array
+   formulation made). Runs of duplicated positions merge into maximal
+   spans per doc, fully vectorized. ``suffix_array`` (prefix doubling)
+   stays as the exact reference kernel.
 
 2. **Global anchored-fingerprint pass** (cross-partition): alignment-
    independent anchors are chosen by content (winnowing-style: positions
@@ -360,7 +362,11 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
     the url re-attach uses a distributed join instead of a driver
     broadcast (no extra counting pass either way). ``url_list``: if the
     caller already holds the url universe, pass it to skip the url-map
-    collection pass entirely."""
+    collection pass entirely.
+
+    NOTE: ``docs_ds`` is consumed by up to three sub-pipelines (local
+    pass, anchor pass, url map); a LAZY input re-executes its upstream per
+    consumer — materialize expensive inputs (e.g. a join output) first."""
     import ray
 
     cfg = cfg or DedupConfig()
