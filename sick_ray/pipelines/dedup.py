@@ -39,7 +39,7 @@ from sick_ray.stages.lsh import (
     verify_edges_broadcast,
     verify_edges_join,
 )
-from sick_ray.stages.minhash import MinHasher
+from sick_ray.stages.minhash import make_minhash_fn
 from sick_ray.state.manifest import StageRunner, input_signature, stage_fingerprint
 
 # above this many canonical docs the verify stage switches from a broadcast
@@ -111,14 +111,13 @@ def run_dedup(
                 ),
                 batch_format="pyarrow",
             )
+        # task-based with per-process cached state: worker processes are
+        # reused across stages/passes (actors are respawned per execution
+        # and repay the numpy warmup every time — see minhash._proc_cache),
+        # and task parallelism scales with the CPU count instead of a
+        # fixed pool size
         return ds.map_batches(
-            MinHasher,
-            fn_constructor_args=(cfg,),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            # autoscaling pool (min 1): never deadlocks on a small CPU count,
-            # scales to the configured pool size when CPUs are available
-            concurrency=(1, cfg.minhash_concurrency),
+            make_minhash_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
         )
 
     meta = runner.run("meta", cfg_fp, compute_meta)

@@ -570,6 +570,78 @@ def q_knn_lsh_embeddings(sf_dir: str):
     return knn_lsh(ds, np.asarray([emb0]), k=10)
 
 
+def q_knn_ivf_embeddings(sf_dir: str):
+    """IVF-partitioned ANN (coarse quantizer + inverted-list probe — the
+    corpus-pruning scale path; recall vs brute gated in tests)."""
+    import pyarrow.parquet as pq
+
+    from sick_ray.stages.ann import knn_ivf
+
+    emb0 = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .filter(pc.equal(pc.field("vec_id"), 0))
+        .column("embedding")
+        .to_pylist()[0]
+    )
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivf(ds, np.asarray([emb0]), k=10, n_centroids=16, nprobe=6)
+
+
+def q_events_sliding_window(sf_dir: str):
+    """Sliding-window aggregate (1 h windows, 30 min slide): each event
+    lands in two windows — emitted as two rows per event inside
+    map_batches, then the tumbling partial-combine pattern."""
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    HOUR = np.timedelta64(3600, "s")
+    HALF = np.timedelta64(1800, "s")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        w0 = ts.astype("datetime64[30m]").astype("datetime64[us]")  # floor 30min
+        rows = []
+        for shift in (np.timedelta64(0, "s"), HALF):
+            w = w0 - shift
+            # window start must align to 30-min grid and contain ts
+            keep = (ts >= w) & (ts < w + HOUR)
+            d = pd.DataFrame(
+                {
+                    "event_type": df["event_type"].to_numpy()[keep],
+                    "window_start": w[keep],
+                    "value": df["value"].to_numpy()[keep],
+                }
+            )
+            rows.append(d)
+        g = pd.concat(rows).groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), total_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["event_type", "window_start"], as_index=False).agg(
+        n_events=("n_events", "sum"), total_value=("total_value", "sum")
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["total_value"] = out["total_value"].round(2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EVENTS_SLIDING_WINDOW = """
+SELECT event_type, window_start, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM (
+  SELECT event_type, value, time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, ts
+  FROM events
+  UNION ALL
+  SELECT event_type, value,
+         time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, ts
+  FROM events
+)
+WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+GROUP BY event_type, window_start
+"""
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal plumbing: deterministic fake media → actor-pool decode."""
     import ray.data as rd
@@ -1110,6 +1182,8 @@ QUERIES = {
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
     "knn_lsh_embeddings": q_knn_lsh_embeddings,
+    "knn_ivf_embeddings": q_knn_ivf_embeddings,
+    "events_sliding_window": q_events_sliding_window,
     "media_decode": q_media_decode,
     "lineitem_stats": q_lineitem_stats,
     "orders_by_priority": q_orders_by_priority,
@@ -1154,6 +1228,7 @@ ORACLES = {
     "json_subtree_stats": SQL_JSON_SUBTREE_STATS,
     "lineitem_decimal_totals": SQL_LINEITEM_DECIMAL_TOTALS,
     "narrow_int_widths": SQL_NARROW_INT_WIDTHS,
+    "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     # dedup_clusters_docs / doc_spans / simhash_docs / lang_id_docs /
     # quality_docs / knn_lsh_embeddings / media_decode: not SQL-expressible
     # (stateful hashing / heuristic scoring / LSH) → rows-only checks.

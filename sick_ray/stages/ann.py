@@ -240,3 +240,122 @@ def knn_lsh(emb_ds, queries: np.ndarray, k: int = 10, cfg: AnnConfig | None = No
     merged["cosine"] = merged["cosine"].round(6)
     return pa.Table.from_pandas(merged[["query_id", "vec_id", "cosine", "rank"]],
                                 preserve_index=False)
+
+
+# ------------------------------------------------------------------- IVF ----
+
+def train_centroids(emb_ds, n_centroids: int, emb_col: str = "embedding",
+                    sample_rows: int = 20_000, iters: int = 8, seed: int = 0):
+    """IVF coarse quantizer: k-means on a bounded sample.
+
+    The sample (first ``sample_rows`` rows — deterministic) is the ONLY
+    data pulled to the driver; Lloyd iterations run on that bounded matrix.
+    At 100 TB the sample bound (not the corpus) governs driver memory, and
+    the trained centroid matrix (n_centroids × dim floats) is the broadcast
+    state every assignment task reads from the object store.
+    """
+    sample = pa.concat_tables(
+        list(
+            emb_ds.limit(sample_rows).iter_batches(
+                batch_size=sample_rows, batch_format="pyarrow"
+            )
+        )
+    )
+    m = _normalize(_emb_matrix(sample.column(emb_col)))
+    rng = np.random.default_rng(seed + 0x1F)
+    idx = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)
+    cent = m[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)           # cosine on unit vecs
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_assign(emb_ds, centroids_ref, id_col: str = "vec_id",
+               emb_col: str = "embedding"):
+    """Append the nearest-centroid list id per vector (one matmul per
+    batch against the broadcast centroid matrix)."""
+    import ray
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(centroids_ref)
+        m = _normalize(_emb_matrix(batch.column(emb_col)))
+        lid = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lid, type=pa.int64()))
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def knn_ivf(emb_ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+            nprobe: int = 4, id_col: str = "vec_id", emb_col: str = "embedding",
+            seed: int = 0):
+    """IVF approximate kNN — the scale path for corpus-side pruning.
+
+    Train a coarse quantizer on a bounded sample, assign every vector to
+    its nearest centroid (inverted lists), then score ONLY vectors whose
+    list is among each query's ``nprobe`` closest centroids: per batch one
+    boolean membership mask + one matmul over the surviving rows. Scanned
+    fraction ≈ nprobe / n_centroids of the corpus vs. brute force. Same
+    output schema as knn_bruteforce; recall vs. brute is gated in tests.
+    """
+    import pandas as pd
+    import ray
+
+    qm = _normalize(np.atleast_2d(np.asarray(queries)))
+    cent = train_centroids(emb_ds, n_centroids, emb_col=emb_col, seed=seed)
+    cent_ref = ray.put(cent)
+    # per query: the nprobe nearest centroid ids
+    qsims = qm @ cent.T
+    probe = np.argsort(-qsims, axis=1)[:, :nprobe]            # (nq, nprobe)
+    state_ref = ray.put((qm, probe))
+
+    assigned = ivf_assign(emb_ds, cent_ref, id_col=id_col, emb_col=emb_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, pr = ray.get(state_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        lid = batch.column("list_id").to_numpy(zero_copy_only=False)
+        m = _normalize(_emb_matrix(batch.column(emb_col)))
+        out_q, out_v, out_c = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(lid, pr[qi])
+            if not mask.any():
+                continue
+            cos = m[mask] @ q[qi]
+            kk = min(k, len(cos))
+            top = np.argpartition(-cos, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(ids[mask][top].astype(np.int64))
+            out_c.append(cos[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+    partials = assigned.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(len(g), dtype=np.int64))
+        out.append(g)
+    merged = pd.concat(out, ignore_index=True) if out else partials.assign(rank=[])
+    merged["cosine"] = merged["cosine"].round(6)
+    return pa.Table.from_pandas(merged[["query_id", "vec_id", "cosine", "rank"]],
+                                preserve_index=False)

@@ -315,6 +315,55 @@ class MinHasher:
         return out
 
 
+# --- per-process state cache for the task-based minhash path -------------
+#
+# The MinHasher state (256 random uint64 + a scratch buffer) is cheap to
+# rebuild, so an actor pool buys nothing for it — and costs a lot here:
+# Ray REUSES worker processes across task executions but spawns fresh
+# processes for every actor pool, and in this sandbox each fresh process
+# pays seconds of first-touch page-fault warmup on the numpy kernels
+# (measured: first tokenize+hash call 3-9 s, steady-state 0.15 s). Running
+# minhash as plain tasks with a process-level cache keeps workers warm
+# across stages AND bench passes; reserve actor pools for genuinely
+# expensive state (models — see functions/text.py::LangId).
+#
+# The cache lives on the `sys` module: sick_ray is registered for
+# cloudpickle by-value serialization (see __ray_entry__), so this module's
+# own globals may be re-materialized per deserialized closure — sys is
+# imported by reference and is stable per process.
+
+def _proc_cache() -> dict:
+    import sys as _sys
+
+    cache = getattr(_sys, "_sick_ray_proc_cache", None)
+    if cache is None:
+        cache = {}
+        _sys._sick_ray_proc_cache = cache
+    return cache
+
+
+def make_minhash_fn(cfg: DedupConfig):
+    """Task-based map_batches fn with per-worker-process cached state —
+    the default minhash execution path (see _proc_cache note)."""
+
+    # key by FIELD VALUES, not the cfg object: by-value cloudpickle
+    # re-creates the DedupConfig class per closure, and dataclass __eq__
+    # requires identical classes — an object key would never hit
+    import dataclasses as _dc
+
+    key = ("minhash",) + tuple(sorted(_dc.asdict(cfg).items()))
+
+    def minhash_batch(batch: pa.Table) -> pa.Table:
+        cache = _proc_cache()
+        mh = cache.get(key)
+        if mh is None:
+            mh = MinHasher(cfg)
+            cache[key] = mh
+        return mh(batch)
+
+    return minhash_batch
+
+
 def fsl_to_numpy(col, width: int) -> np.ndarray:
     """FixedSizeList column → (n, width) ndarray, zero-copy via flatten."""
     if isinstance(col, pa.ChunkedArray):

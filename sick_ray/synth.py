@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 1
+GEN_VERSION = 2  # v2: webtext sharded into 32 part files (read parallelism)
 _EPOCH_US = 1735689600_000_000  # 2025-01-01T00:00:00Z in µs
 
 _EN_STOP = (
@@ -264,7 +264,19 @@ def materialize_corpus(n: int, seed: int = 42, root: str = "/tmp/sick_ray_synth"
     tmp = d + ".tmp"
     os.makedirs(tmp, exist_ok=True)
     web, te, tp, tsp = generate_webtext(n, seed)
-    pq.write_table(web, os.path.join(tmp, "webtext.parquet"), row_group_size=8192)
+    # shard the corpus: one file reads as ONE Ray task regardless of row
+    # groups, serializing the whole ingest (and a real 100 TB corpus is
+    # always many objects — "never one giant file")
+    shard_dir = os.path.join(tmp, "webtext.parquet")
+    os.makedirs(shard_dir, exist_ok=True)
+    n_shards = min(32, max(1, web.num_rows // 512))
+    per = -(-web.num_rows // n_shards)
+    for i in range(n_shards):
+        pq.write_table(
+            web.slice(i * per, per),
+            os.path.join(shard_dir, f"part-{i:05d}.parquet"),
+            row_group_size=4096,
+        )
     pq.write_table(te, os.path.join(tmp, "truth_exact.parquet"))
     pq.write_table(tp, os.path.join(tmp, "truth_pairs.parquet"))
     pq.write_table(tsp, os.path.join(tmp, "truth_spans.parquet"))

@@ -153,3 +153,50 @@ def test_winnow_fingerprint_robust_to_local_edit():
     fp = out.column("winnow_fp").to_pylist()
     shared = len(set(fp[0]) & set(fp[1]))
     assert shared >= 4, f"winnow fps share only {shared}/8 mins"
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF probe of nprobe/n_centroids lists must recover the true top-k
+    in the clustered regime (query's cluster maps to a probed list)."""
+    import ray.data as rd
+
+    from sick_ray.stages.ann import knn_bruteforce, knn_ivf
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((20, 32)) * 3
+    m = np.vstack([c + 0.3 * rng.standard_normal((25, 32)) for c in centers])
+    q = centers[4] + 0.1 * rng.standard_normal(32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(m)), type=pa.int64()),
+        "embedding": pa.array(list(m.astype(np.float32))),
+    })
+    ds = rd.from_arrow(tbl)
+    exact = set(knn_bruteforce(ds, q, k=10).to_pandas()["vec_id"])
+    approx = set(
+        knn_ivf(ds, q, k=10, n_centroids=16, nprobe=4).to_pandas()["vec_id"]
+    )
+    recall = len(exact & approx) / 10
+    assert recall >= 0.8, f"IVF knn recall {recall}"
+
+
+def test_ivf_scanned_fraction(ray_session):
+    """IVF must actually prune: vectors outside probed lists are never
+    scored (scanned fraction ~ nprobe/n_centroids, not 1)."""
+    import ray.data as rd
+
+    from sick_ray.stages.ann import ivf_assign, train_centroids
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((500, 16))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(500), type=pa.int64()),
+        "embedding": pa.array(list(m.astype(np.float32))),
+    })
+    ds = rd.from_arrow(tbl)
+    import ray
+
+    cent = train_centroids(ds, 8)
+    assigned = ivf_assign(ds, ray.put(cent)).to_pandas()
+    counts = assigned["list_id"].value_counts()
+    assert len(counts) >= 4                      # lists actually populated
+    assert counts.max() < 500                    # not everything in one list
