@@ -36,6 +36,14 @@ _SF_DOCS = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
 
 
 def corpus_size() -> int:
+    # GRAFT_BENCH_DOCS overrides the sf mapping — the scaling criterion
+    # needs enough work per run that fixed per-job latencies (~20 s of
+    # stage barriers + session setup at any CPU count) don't dominate the
+    # 32-CPU level; at 10^12 docs that fixed share is negligible, so the
+    # honest single-box proxy measures at the largest corpus that fits
+    override = os.environ.get("GRAFT_BENCH_DOCS")
+    if override:
+        return int(override)
     base = os.path.basename(SF_DIR.rstrip("/"))
     return _SF_DOCS.get(base, 40_000)
 

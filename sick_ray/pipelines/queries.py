@@ -654,6 +654,27 @@ def q_media_decode(sf_dir: str):
     )
 
 
+def q_media_decode_real(sf_dir: str):
+    """REAL multimodal decode (stages/multimodal.py): BMP pixels and PCM
+    WAV samples parsed from payload bytes by dependency-free codecs, with
+    per-row error isolation for corrupt payloads. Rows-only (binary decode
+    is not SQL-expressible); codec correctness is pinned by exact
+    roundtrip tests (tests/test_ops.py)."""
+    import ray.data as rd
+
+    from sick_ray.stages.multimodal import decode_media, synth_media_real
+
+    media = rd.from_arrow(synth_media_real(200, seed=7))
+    imgs, wavs = decode_media(media, concurrency=2)
+    i = imgs.select_columns(["media_id", "pix_mean", "decode_err"]).to_pandas()
+    w = wavs.select_columns(["media_id", "rms", "decode_err"]).to_pandas()
+    i = i.rename(columns={"pix_mean": "stat"})
+    w = w.rename(columns={"rms": "stat"})
+    out = pd.concat([i.assign(kind="image"), w.assign(kind="audio")],
+                    ignore_index=True).sort_values("media_id")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def q_lineitem_stats(sf_dir: str):
     """Global min/max/count + rounded sum — cursor-style numeric widening
     parity (reference ``eba/cursor/SickCursor.scala:28-125``)."""
@@ -1185,6 +1206,7 @@ QUERIES = {
     "knn_ivf_embeddings": q_knn_ivf_embeddings,
     "events_sliding_window": q_events_sliding_window,
     "media_decode": q_media_decode,
+    "media_decode_real": q_media_decode_real,
     "lineitem_stats": q_lineitem_stats,
     "orders_by_priority": q_orders_by_priority,
     "embedding_first_last": q_embedding_first_last,

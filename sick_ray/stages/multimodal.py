@@ -1,12 +1,17 @@
 """Multimodal columns: images/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries exist
-in this container): ``FakeImageDecoder`` derives a deterministic small
-"pixel" tensor from the payload bytes so the Ray-side plumbing — schema,
-batch sizing for wide binary rows, actor signature, output layout — is
-real and tested end to end. Swap ``_decode`` for a real codec (PIL/ffmpeg)
-on a cluster that has one; everything else stands.
+Two decode tiers:
+
+- **Real decoders, dependency-free formats**: uncompressed 24-bit BMP
+  (numpy parser/encoder in this module — full pixel roundtrip) and PCM
+  WAV (stdlib ``wave``). ``ImageDecoder``/``WavDecoder`` are actual
+  decode → feature-extract stages: pixels/samples come from the payload
+  BYTES, with downsampled thumbnails and signal stats.
+- **Stub for compressed codecs** (JPEG/PNG/H.264 — no codec libraries in
+  this container): ``FakeImageDecoder`` derives a deterministic tensor
+  from the payload so the Ray plumbing for those types is still exercised;
+  swap ``_decode`` for PIL/ffmpeg on a cluster that has them.
 
 Batch-size guidance (SURVEY.md §4.2 / ray_guide "Memory-aware"): with
 multi-MB payloads use small ``batch_size`` (e.g. 32–128) so
@@ -130,3 +135,231 @@ def decode_images(media_ds, concurrency: int = 4, batch_size: int = 64):
         batch_size=batch_size,
         concurrency=(1, concurrency),
     )
+
+
+# ---------------------------------------------------- real codecs (no deps)
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BI_RGB BMP bytes."""
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    stride = row_bytes + pad
+    img_size = stride * h
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    header[2:6] = (54 + img_size).to_bytes(4, "little")
+    header[10:14] = (54).to_bytes(4, "little")
+    header[14:18] = (40).to_bytes(4, "little")
+    header[18:22] = w.to_bytes(4, "little")
+    header[22:26] = h.to_bytes(4, "little")
+    header[26:28] = (1).to_bytes(2, "little")
+    header[28:30] = (24).to_bytes(2, "little")
+    header[34:38] = img_size.to_bytes(4, "little")
+    body = np.zeros((h, stride), dtype=np.uint8)
+    bgr = pixels[::-1, :, ::-1]                    # bottom-up rows, BGR
+    body[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    return bytes(header) + body.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP bytes → (h, w, 3) uint8 RGB."""
+    if len(payload) < 54 or payload[0:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    body = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = body.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]
+    return rgb if top_down else rgb[::-1]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples → PCM WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """PCM WAV bytes → (rate, int16 samples ndarray)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        width = wf.getsampwidth()
+        ch = wf.getnchannels()
+    if width != 2:
+        raise ValueError(f"unsupported sample width {width}")
+    samples = np.frombuffer(raw, dtype="<i2")
+    if ch > 1:
+        samples = samples.reshape(-1, ch).mean(axis=1).astype(np.int16)
+    return rate, samples
+
+
+def _thumbnail(rgb: np.ndarray, t: int = 8) -> np.ndarray:
+    """Box-downsample (h, w, 3) → (t, t) uint8 grayscale (vectorized)."""
+    h, w, _ = rgb.shape
+    gray = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    ys = (np.arange(t + 1) * h) // t
+    xs = (np.arange(t + 1) * w) // t
+    integ = np.zeros((h + 1, w + 1))
+    np.cumsum(np.cumsum(gray, axis=0), axis=1, out=integ[1:, 1:])
+    a = integ[ys[:-1][:, None], xs[:-1][None, :]]
+    b = integ[ys[1:][:, None], xs[1:][None, :]]
+    c = integ[ys[:-1][:, None], xs[1:][None, :]]
+    d = integ[ys[1:][:, None], xs[:-1][None, :]]
+    area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    return np.clip((a + b - c - d) / np.maximum(area, 1), 0, 255).astype(np.uint8)
+
+
+class ImageDecoder:
+    """Actor-pool stage: REAL BMP decode → thumbnail + pixel stats.
+
+    Payload bytes are parsed (decode_bmp), grayscale box-downsampled to an
+    8×8 thumbnail, and summarized; decode failures land in ``decode_err``
+    instead of killing the batch (per-row error isolation — the behavior a
+    100 TB run needs when 0.01% of a crawl is corrupt)."""
+
+    THUMB = 8
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
+        thumbs = np.zeros((n, self.THUMB * self.THUMB), dtype=np.uint8)
+        mean = np.full(n, np.nan)
+        std = np.full(n, np.nan)
+        width = np.zeros(n, dtype=np.int32)
+        height = np.zeros(n, dtype=np.int32)
+        errs: list = [None] * n
+        for i, p in enumerate(payloads):
+            try:
+                rgb = decode_bmp(p)
+                height[i], width[i] = rgb.shape[0], rgb.shape[1]
+                th = _thumbnail(rgb, self.THUMB)
+                thumbs[i] = th.reshape(-1)
+                mean[i] = th.mean()
+                std[i] = th.std()
+            except (ValueError, IndexError) as ex:
+                errs[i] = str(ex)
+        out = batch.drop_columns(["payload"])
+        if "width" in out.column_names:
+            out = out.drop_columns([c for c in ("width", "height") if c in out.column_names])
+        out = out.append_column(
+            "thumb",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(thumbs.reshape(-1), type=pa.uint8()),
+                self.THUMB * self.THUMB,
+            ),
+        )
+        out = out.append_column("width", pa.array(width, type=pa.int32()))
+        out = out.append_column("height", pa.array(height, type=pa.int32()))
+        out = out.append_column("pix_mean", pa.array(np.round(mean, 4), from_pandas=True))
+        out = out.append_column("pix_std", pa.array(np.round(std, 4), from_pandas=True))
+        out = out.append_column("decode_err", pa.array(errs, type=pa.string()))
+        return out
+
+
+class WavDecoder:
+    """Actor-pool stage: REAL PCM WAV decode → duration + signal stats."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
+        rate = np.zeros(n, dtype=np.int32)
+        nsamp = np.zeros(n, dtype=np.int64)
+        rms = np.full(n, np.nan)
+        errs: list = [None] * n
+        for i, p in enumerate(payloads):
+            try:
+                r, samples = decode_wav(p)
+                rate[i] = r
+                nsamp[i] = len(samples)
+                if len(samples):
+                    rms[i] = float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+            except Exception as ex:  # wave raises bare Error/EOFError
+                errs[i] = str(ex) or type(ex).__name__
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("sample_rate", pa.array(rate, type=pa.int32()))
+        out = out.append_column("n_samples", pa.array(nsamp, type=pa.int64()))
+        out = out.append_column(
+            "duration_s",
+            pa.array(np.round(np.where(rate > 0, nsamp / np.maximum(rate, 1), np.nan), 4),
+                     from_pandas=True),
+        )
+        out = out.append_column("rms", pa.array(np.round(rms, 4), from_pandas=True))
+        out = out.append_column("decode_err", pa.array(errs, type=pa.string()))
+        return out
+
+
+def synth_media_real(n: int, seed: int = 7) -> pa.Table:
+    """Deterministic REAL media: gradient/noise BMPs + sine-mix WAVs,
+    with a few corrupt payloads mixed in (error-isolation coverage)."""
+    rng = np.random.default_rng(seed)
+    rows_payload, rows_type = [], []
+    for i in range(n):
+        kind = i % 2
+        if kind == 0:
+            h = int(rng.integers(8, 48))
+            w = int(rng.integers(8, 48))
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = ((yy * 255) // max(h - 1, 1)).astype(np.uint8)
+            px = np.stack([base, base[::-1], np.full_like(base, i % 256)], axis=2)
+            noise = rng.integers(0, 32, size=px.shape, dtype=np.uint8)
+            rows_payload.append(encode_bmp((px // 2 + noise)))
+            rows_type.append("image/bmp")
+        else:
+            t = np.arange(int(rng.integers(800, 4000)))
+            f = float(rng.uniform(100, 2000))
+            s = (6000 * np.sin(2 * np.pi * f * t / 16000)
+                 + rng.normal(0, 300, len(t))).astype(np.int16)
+            rows_payload.append(encode_wav(s))
+            rows_type.append("audio/wav")
+    # corrupt ~2%: truncate the payload
+    for i in rng.choice(n, size=max(1, n // 50), replace=False):
+        rows_payload[i] = rows_payload[i][: 10]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(rows_payload, type=pa.binary()),
+            "media_type": pa.array(rows_type),
+        }
+    )
+
+
+def decode_media(media_ds, concurrency: int = 4, batch_size: int = 64):
+    """Route by media_type: BMPs through ImageDecoder, WAVs through
+    WavDecoder (two filtered actor-pool branches over one source)."""
+    import pyarrow.compute as pc
+
+    imgs = media_ds.filter(
+        lambda r: r["media_type"] == "image/bmp"
+    ).map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+    wavs = media_ds.filter(
+        lambda r: r["media_type"] == "audio/wav"
+    ).map_batches(
+        WavDecoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+    return imgs, wavs

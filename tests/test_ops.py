@@ -200,3 +200,45 @@ def test_ivf_scanned_fraction(ray_session):
     counts = assigned["list_id"].value_counts()
     assert len(counts) >= 4                      # lists actually populated
     assert counts.max() < 500                    # not everything in one list
+
+
+def test_bmp_roundtrip_exact():
+    """encode_bmp → decode_bmp is pixel-exact (the codec IS the oracle)."""
+    from sick_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(2)
+    for h, w in [(1, 1), (5, 7), (32, 17), (48, 48)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_wav_roundtrip_exact():
+    from sick_ray.stages.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32767, size=1234, dtype=np.int16)
+    rate, got = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(got, s)
+
+
+def test_media_decode_real(ray_session):
+    """Real decode stages over a deterministic media table, with corrupt
+    payloads isolated per row instead of failing the batch."""
+    import ray.data as rd
+
+    from sick_ray.stages.multimodal import decode_media, synth_media_real
+
+    media = rd.from_arrow(synth_media_real(100, seed=7))
+    imgs, wavs = decode_media(media, concurrency=2)
+    idf = imgs.to_pandas()
+    wdf = wavs.to_pandas()
+    assert len(idf) + len(wdf) == 100
+    ok_i = idf[idf["decode_err"].isna()]
+    ok_w = wdf[wdf["decode_err"].isna()]
+    assert len(ok_i) > 40 and len(ok_w) > 40
+    assert (ok_i["width"] > 0).all() and (ok_i["pix_mean"] >= 0).all()
+    assert (ok_w["sample_rate"] == 16000).all()
+    assert (ok_w["duration_s"] > 0).all()
+    # corrupt rows surfaced, not dropped or fatal
+    assert (idf["decode_err"].notna().sum() + wdf["decode_err"].notna().sum()) >= 1
