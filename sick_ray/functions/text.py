@@ -114,22 +114,48 @@ class LangId:
 def add_winnow_fingerprint(batch: pa.Table, n_mins: int = 8, window: int = 64,
                            stride: int = 16) -> pa.Table:
     """Winnowing-style doc fingerprint: the ``n_mins`` smallest anchored
-    rolling-window hashes per doc (robust to local edits, unlike fp64)."""
-    out = []
-    for t in batch.column("text").to_pylist():
-        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-        if len(b) < window:
-            h = window_hashes(b, max(1, len(b)))
-            mins = np.sort(h)[:n_mins] if len(h) else np.empty(0, dtype=np.uint64)
-        else:
-            wh = window_hashes(b, window)
-            anchors = wh[::stride]
-            mins = np.sort(np.unique(anchors))[:n_mins]
-        padded = np.full(n_mins, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
-        padded[: len(mins)] = mins[:n_mins]
-        out.append(padded.view(np.int64))
-    flat = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    rolling-window hashes per doc (robust to local edits, unlike fp64).
+
+    Fully vectorized across the batch: ONE rolling-hash pass over the
+    column's own Arrow buffer, per-doc strided anchor indices built by
+    repeat/cumsum, and the per-doc smallest-k via one (doc, hash) sort +
+    position-in-group mask — no ``for doc`` loop (round-1 hot spot)."""
+    from sick_ray.shuffle import first_mask
+    from sick_ray.stages.suffix import _concat_docs_col
+
+    n = batch.num_rows
+    SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
+    fp = np.full(n * n_mins, SENT, dtype=np.uint64).reshape(n, n_mins)
+    buf, starts, ends = _concat_docs_col(batch.column("text"))
+    lens = ends - starts
+    long = lens >= window
+    if long.any() and len(buf) >= window:
+        wh = window_hashes(buf, window)
+        li = np.flatnonzero(long)
+        cnt = (lens[li] - window) // stride + 1
+        # flat strided anchor positions for all long docs at once
+        doc_rep = np.repeat(li, cnt)
+        base = np.repeat(starts[li], cnt)
+        off = (np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)) * stride
+        h = wh[base + off]
+        order = np.lexsort((h, doc_rep))
+        d_s, h_s = doc_rep[order], h[order]
+        # drop duplicate (doc, hash) pairs, then take first n_mins per doc
+        keep = first_mask(d_s) | np.concatenate([[True], h_s[1:] != h_s[:-1]])
+        d_s, h_s = d_s[keep], h_s[keep]
+        fm = first_mask(d_s)
+        pos = np.arange(len(d_s)) - np.flatnonzero(fm)[np.cumsum(fm) - 1]
+        sel = pos < n_mins
+        fp[d_s[sel], pos[sel]] = h_s[sel]
+    # short docs (rare): whole-doc window
+    for i in np.flatnonzero(~long):
+        b = buf[starts[i]: ends[i]]
+        h = window_hashes(b, max(1, len(b)))
+        if len(h):
+            fp[i, 0] = np.sort(h)[0]
     return batch.append_column(
         "winnow_fp",
-        pa.FixedSizeListArray.from_arrays(pa.array(flat, type=pa.int64()), n_mins),
+        pa.FixedSizeListArray.from_arrays(
+            pa.array(fp.reshape(-1).view(np.int64), type=pa.int64()), n_mins
+        ),
     )
