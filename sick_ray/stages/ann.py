@@ -193,20 +193,23 @@ def knn_lsh(emb_ds, queries: np.ndarray, k: int = 10, cfg: AnnConfig | None = No
         h = HyperplaneHasher.__new__(HyperplaneHasher)
         h.planes = planes
         keys = h.bucket_keys(m)                              # (nb, T)
-        # candidate mask: any table key matches any query's key for that table
+        # candidates: any table key matches any query's key for that table.
+        # Vectorized run expansion: sort batch keys per table, locate each
+        # query's run by searchsorted(left/right), expand via repeat/cumsum.
         nq = q.shape[0]
-        out_q, out_v, out_c = [], [], []
+        out_q, out_v = [], []
         for t in range(keys.shape[1]):
-            qk_t = qk[:, t]
-            order = np.argsort(keys[:, t])
-            pos = np.searchsorted(keys[order, t], qk_t)
-            # expand runs of equal keys
-            for qi in range(nq):
-                p = pos[qi]
-                while p < len(order) and keys[order[p], t] == qk_t[qi]:
-                    out_q.append(qi)
-                    out_v.append(order[p])
-                    p += 1
+            kt = keys[:, t]
+            order = np.argsort(kt)
+            ks = kt[order]
+            lo = np.searchsorted(ks, qk[:, t], side="left")
+            cnt = np.searchsorted(ks, qk[:, t], side="right") - lo
+            total = int(cnt.sum())
+            if not total:
+                continue
+            off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            out_q.append(np.repeat(np.arange(nq), cnt))
+            out_v.append(order[np.repeat(lo, cnt) + off])
         if not out_q:
             return pa.table(
                 {
@@ -215,8 +218,8 @@ def knn_lsh(emb_ds, queries: np.ndarray, k: int = 10, cfg: AnnConfig | None = No
                     "cosine": pa.array([], type=pa.float64()),
                 }
             )
-        qi = np.asarray(out_q)
-        vi = np.asarray(out_v)
+        qi = np.concatenate(out_q)
+        vi = np.concatenate(out_v)
         pair = np.unique(qi * (1 << 32) + vi)
         qi, vi = pair >> 32, pair & ((1 << 32) - 1)
         cos = np.einsum("ij,ij->i", q[qi], m[vi])
