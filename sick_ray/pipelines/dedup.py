@@ -79,15 +79,20 @@ def _flag_canonical_partition(part: pa.Table) -> pa.Table:
     return part.append_column("is_canonical", pa.array(flags))
 
 
-def run_dedup(
-    input_ds,
-    cfg: DedupConfig | None = None,
-    out_dir: str | None = None,
-) -> DedupResult:
-    """``input_ds``: Dataset or parquet path with the webtext schema
-    (url, warc_ts, html, text, lang). ``out_dir``: enable checkpoint
-    manifests + resume under this directory."""
-    import ray
+def _to_uint64(col):
+    """Batch fn re-interpreting an int64 bit-view column as uint64 for the
+    published schema (FIXTURES.md §3); applied only after all shuffles."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False).view(np.uint64)
+        return batch.set_column(
+            batch.schema.get_field_index(col), col, pa.array(vals, type=pa.uint64())
+        )
+
+    return f
+
+
+def _prepare(input_ds, cfg, out_dir):
     import ray.data as rd
 
     cfg = cfg or DedupConfig()
@@ -100,6 +105,12 @@ def run_dedup(
         input_sig = f"<dataset:{id(input_ds)}>"
     runner = StageRunner(out_dir)
     cfg_fp = stage_fingerprint(dataclasses.asdict(cfg), input_sig)
+    return input_ds, cfg, runner, cfg_fp
+
+
+def _exact_phase(input_ds, cfg, runner, cfg_fp, out_dir):
+    """Stage 1: extract → fingerprints → MinHash meta → exact dedup.
+    Returns (meta, fingerprints, canonical, n_docs, n_canonical)."""
 
     def compute_meta():
         ds = input_ds.map_batches(extract_batch, batch_format="pyarrow")
@@ -131,6 +142,14 @@ def run_dedup(
     if out_dir is None:
         canonical = canonical.materialize()
     n_canonical = canonical.count()
+    return meta, fingerprints, canonical, n_docs, n_canonical
+
+
+def _near_phase(meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir):
+    """Stage 2: LSH banding → verified edges → connected components →
+    cluster attach-back. Returns (edges, labels, clusters, n_edges)."""
+    import ray
+    import ray.data as rd
 
     edge_counters: dict = {}
 
@@ -237,15 +256,6 @@ def run_dedup(
 
         assigned = joined.map_batches(finish, batch_format="pyarrow")
 
-    def _to_uint64(col):
-        def f(batch: pa.Table) -> pa.Table:
-            vals = batch.column(col).to_numpy(zero_copy_only=False).view(np.uint64)
-            return batch.set_column(
-                batch.schema.get_field_index(col), col, pa.array(vals, type=pa.uint64())
-            )
-
-        return f
-
     def compute_clusters():
         flagged = grouped_apply(
             assigned,
@@ -262,8 +272,25 @@ def run_dedup(
         return out.map_batches(_to_uint64("cluster_id"), batch_format="pyarrow")
 
     clusters = runner.run("clusters", cfg_fp, compute_clusters)
-    fingerprints = fingerprints.map_batches(_to_uint64("fp64"), batch_format="pyarrow")
+    return edges, labels, clusters, n_edges
 
+
+def run_dedup(
+    input_ds,
+    cfg: DedupConfig | None = None,
+    out_dir: str | None = None,
+) -> DedupResult:
+    """``input_ds``: Dataset or parquet path with the webtext schema
+    (url, warc_ts, html, text, lang). ``out_dir``: enable checkpoint
+    manifests + resume under this directory."""
+    input_ds, cfg, runner, cfg_fp = _prepare(input_ds, cfg, out_dir)
+    meta, fingerprints, canonical, n_docs, n_canonical = _exact_phase(
+        input_ds, cfg, runner, cfg_fp, out_dir
+    )
+    _, labels, clusters, n_edges = _near_phase(
+        meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir
+    )
+    fingerprints = fingerprints.map_batches(_to_uint64("fp64"), batch_format="pyarrow")
     return DedupResult(
         fingerprints=fingerprints,
         clusters=clusters,
@@ -273,6 +300,116 @@ def run_dedup(
         n_canonical=n_canonical,
         n_edges=n_edges,
         runner_log=runner.log,
+    )
+
+
+@dataclasses.dataclass
+class FullResult:
+    dedup: DedupResult
+    spans: "object"          # materialized Dataset (url, start, end)
+    n_spans: int
+    timings: dict            # per-branch wall seconds
+
+
+def run_full(
+    input_ds,
+    cfg: DedupConfig | None = None,
+    out_dir: str | None = None,
+    spans_input=None,
+) -> FullResult:
+    """All three dedup stages with the independent branches OVERLAPPED.
+
+    After the exact phase (stage 1), the near-dup branch (LSH → components
+    → clusters) and the substring-spans branch (stage 3, which consumes
+    only the exact-deduped canonical keys + raw text) have no data
+    dependency on each other — so they run CONCURRENTLY, each branch a
+    separate Ray Data streaming execution sharing the cluster. On a
+    multi-node cluster this is how the stages would be scheduled anyway;
+    sequential barriers between independent DAGs waste the whole fleet
+    during each branch's stragglers.
+
+    ``spans_input``: optional (url, text) Dataset/path for the spans
+    branch; defaults to re-reading ``input_ds`` with column pruning when
+    it is a path.
+    """
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ray.data as rd
+
+    from sick_ray.shuffle import semi_select
+    from sick_ray.stages.suffix import duplicate_spans
+
+    raw_path = input_ds if isinstance(input_ds, str) else None
+    input_ds, cfg, runner, cfg_fp = _prepare(input_ds, cfg, out_dir)
+
+    t0 = _time.time()
+    meta, fingerprints, canonical, n_docs, n_canonical = _exact_phase(
+        input_ds, cfg, runner, cfg_fp, out_dir
+    )
+    exact_sec = _time.time() - t0
+
+    def near_branch():
+        t = _time.time()
+        _, labels, clusters, n_edges = _near_phase(
+            meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir
+        )
+        n_cluster_rows = clusters.count()
+        return labels, clusters, n_edges, n_cluster_rows, _time.time() - t
+
+    def spans_branch():
+        t = _time.time()
+        if spans_input is not None:
+            docs = spans_input
+            if isinstance(docs, str):
+                docs = rd.read_parquet(docs, columns=["url", "text"])
+        elif raw_path is not None:
+            # prune at the read: the spans branch needs only (url, text)
+            docs = rd.read_parquet(raw_path, columns=["url", "text"])
+        else:
+            docs = input_ds.select_columns(["url", "text"])
+        canon_keys = canonical.select_columns(["url"]).materialize()
+        # materialize: duplicate_spans fans out to three consumers, each of
+        # which would re-execute a lazy semi-join input
+        canon_docs = semi_select(
+            docs, canon_keys, on="url",
+            num_partitions=cfg.num_partitions, n_keys_hint=n_canonical,
+        ).materialize()
+        spans = duplicate_spans(
+            canon_docs, cfg, n_docs_hint=n_canonical
+        ).materialize()
+        return spans, spans.count(), _time.time() - t
+
+    # two driver threads, each driving its own streaming execution; Ray's
+    # scheduler multiplexes the branches over the shared CPU pool
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        near_f = pool.submit(near_branch)
+        spans_f = pool.submit(spans_branch)
+        labels, clusters, n_edges, n_cluster_rows, near_sec = near_f.result()
+        spans, n_spans, spans_sec = spans_f.result()
+
+    fingerprints = fingerprints.map_batches(_to_uint64("fp64"), batch_format="pyarrow")
+    dedup = DedupResult(
+        fingerprints=fingerprints,
+        clusters=clusters,
+        canonical=canonical,
+        labels=labels,
+        n_docs=n_docs,
+        n_canonical=n_canonical,
+        n_edges=n_edges,
+        runner_log=runner.log,
+    )
+    return FullResult(
+        dedup=dedup,
+        spans=spans,
+        n_spans=n_spans,
+        timings={
+            "exact_sec": round(exact_sec, 3),
+            "near_sec": round(near_sec, 3),
+            "spans_sec": round(spans_sec, 3),
+            "total_sec": round(_time.time() - t0, 3),
+            "n_cluster_rows": n_cluster_rows,
+        },
     )
 
 

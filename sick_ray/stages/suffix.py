@@ -366,7 +366,15 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
 
     NOTE: ``docs_ds`` is consumed by up to three sub-pipelines (local
     pass, anchor pass, url map); a LAZY input re-executes its upstream per
-    consumer — materialize expensive inputs (e.g. a join output) first."""
+    consumer — materialize expensive inputs (e.g. a join output) first.
+
+    DETERMINISM: the global anchored pass is fully deterministic (anchors
+    are content-defined). The local pass detects duplicates within
+    whatever docs share one task batch, and Ray's task bundling varies
+    between runs — so the total span count can drift ~0.1% run-to-run.
+    Making it exact would require a deterministic full-text co-location
+    shuffle, which this stage exists to avoid; the drift only affects
+    which *local-only* (sub-anchor-stride) duplicates are caught."""
     import ray
 
     cfg = cfg or DedupConfig()
