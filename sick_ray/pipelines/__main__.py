@@ -40,14 +40,12 @@ def main(argv=None) -> int:
             include_dashboard=False,
             logging_level="ERROR",
         )
-    import ray.data as rd
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
 
     from sick_ray.config import DedupConfig
-    from sick_ray.pipelines.dedup import run_dedup
-    from sick_ray.stages.suffix import duplicate_spans
+    from sick_ray.pipelines.dedup import run_dedup, run_full
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     cfg = DedupConfig(
@@ -56,8 +54,15 @@ def main(argv=None) -> int:
         num_partitions=args.partitions,
     )
     t0 = time.time()
-    res = run_dedup(args.input, cfg, out_dir=args.out_dir)
-    n = res.clusters.count()
+    if args.spans:
+        # near-dup and substring-spans branches overlap after the exact
+        # phase (two concurrent streaming executions — see run_full)
+        full = run_full(args.input, cfg, out_dir=args.out_dir)
+        res = full.dedup
+        n = full.timings["n_cluster_rows"]
+    else:
+        res = run_dedup(args.input, cfg, out_dir=args.out_dir)
+        n = res.clusters.count()
     summary = {
         "n_docs": res.n_docs,
         "n_canonical": res.n_canonical,
@@ -67,16 +72,14 @@ def main(argv=None) -> int:
         "wall_sec": round(time.time() - t0, 2),
     }
     if args.spans:
-        spans = duplicate_spans(
-            rd.read_parquet(args.input), cfg, n_docs_hint=res.n_docs
-        )
         spans_dir = os.path.join(args.out_dir, "spans")
         os.makedirs(spans_dir, exist_ok=True)
-        spans.write_parquet(spans_dir)
+        full.spans.write_parquet(spans_dir)
         from sick_ray.state.manifest import commit_manifest
 
         commit_manifest(spans_dir, "spans", "cli")
-        summary["n_spans"] = rd.read_parquet(spans_dir).count()
+        summary["n_spans"] = full.n_spans
+        summary["branch_timings"] = full.timings
     print(json.dumps(summary))
     ray.shutdown()
     return 0
