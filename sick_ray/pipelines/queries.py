@@ -1181,6 +1181,92 @@ def q_winnow_fp_docs(sf_dir: str):
     )
 
 
+def q_events_asof_purchase(sf_dir: str):
+    """Two-sided AS-OF join (stages/joins.py): each click paired with the
+    same user's most recent purchase at or before it (inner, backward).
+    Tagged-union hash shuffle by user + one vectorized searchsorted merge
+    per partition — no per-row Python, no cross-partition state."""
+    from sick_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type", "value"])
+    def typed(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("event_type"), kind))
+
+        return f
+
+    clicks = ev.map_batches(typed("click"), batch_format="pyarrow")
+    purchases = ev.map_batches(typed("purchase"), batch_format="pyarrow")
+    joined = asof_join(
+        clicks, purchases, by="user_id", on="ts",
+        left_cols=["event_id", "value"], right_cols=["value"],
+        num_partitions=QCFG.num_partitions,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("l_event_id"),
+                "click_value": pc.round(batch.column("l_value"), 2),
+                "purchase_ts": batch.column("r_t"),
+                "purchase_value": pc.round(batch.column("r_value"), 2),
+            }
+        )
+
+    return joined.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF_PURCHASE = """
+SELECT a.event_id AS event_id,
+       round(a.value, 2) AS click_value,
+       b.ts AS purchase_ts,
+       round(b.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
+def q_events_range_count(sf_dir: str):
+    """Keyed RANGE join + aggregate (stages/joins.py): per event, count and
+    sum of the same user's events strictly within the prior 10 minutes.
+    Interval probe = two searchsorted calls on a composite (key, time)
+    int64; the sum reads a prefix-sum of the time-sorted values."""
+    from sick_ray.stages.joins import range_join_agg
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = range_join_agg(
+        ev, ev, by="user_id", on="ts", value_col="value",
+        window_us=10 * 60 * 1_000_000,
+        left_cols=["event_id"], num_partitions=QCFG.num_partitions,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("l_event_id"),
+                "n_prior_10m": batch.column("n_in_range"),
+                "sum_prior_10m": pc.round(batch.column("sum_in_range"), 2),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_EVENTS_RANGE_COUNT = """
+SELECT a.event_id,
+       count(b.event_id) AS n_prior_10m,
+       round(coalesce(sum(b.value), 0), 2) AS sum_prior_10m
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 10 MINUTE
+ AND b.ts < a.ts
+GROUP BY a.event_id
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dup_group_stats": q_dup_group_stats,
@@ -1221,6 +1307,8 @@ QUERIES = {
     "json_subtree_stats": q_json_subtree_stats,
     "lineitem_decimal_totals": q_lineitem_decimal_totals,
     "narrow_int_widths": q_narrow_int_widths,
+    "events_asof_purchase": q_events_asof_purchase,
+    "events_range_count": q_events_range_count,
 }
 
 ORACLES = {
@@ -1251,6 +1339,8 @@ ORACLES = {
     "lineitem_decimal_totals": SQL_LINEITEM_DECIMAL_TOTALS,
     "narrow_int_widths": SQL_NARROW_INT_WIDTHS,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
+    "events_asof_purchase": SQL_EVENTS_ASOF_PURCHASE,
+    "events_range_count": SQL_EVENTS_RANGE_COUNT,
     # dedup_clusters_docs / doc_spans / simhash_docs / lang_id_docs /
     # quality_docs / knn_lsh_embeddings / media_decode: not SQL-expressible
     # (stateful hashing / heuristic scoring / LSH) → rows-only checks.
