@@ -554,6 +554,32 @@ def q_quality_docs(sf_dir: str):
     )
 
 
+SQL_QUALITY_DOCS = """
+WITH feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digits,
+         CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9A-Za-z]+')) AS DOUBLE) AS n_tokens
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         least(greatest(ln(1 + n_chars) / ln(2000.0), 0), 1) AS len_score,
+         least(greatest(1 - abs(
+           CASE WHEN n_tokens > 0
+                THEN (n_chars - n_tokens + 1) / greatest(n_tokens, 1)
+                ELSE 0 END - 5.0) / 10.0, 0), 1) AS tok_score,
+         least(greatest(
+           1 - 2.0 * (n_digits / greatest(n_chars, 1.0)
+                      + n_punct / greatest(n_chars, 1.0)), 0), 1) AS noise_pen
+  FROM feats
+)
+SELECT doc_id,
+       round(0.4 * len_score + 0.3 * tok_score + 0.3 * noise_pen, 6) AS quality
+FROM scored
+"""
+
+
 def q_knn_lsh_embeddings(sf_dir: str):
     """LSH-bucketed ANN (scale path of q_knn_embeddings; rows-only)."""
     import pyarrow.parquet as pq
@@ -1341,6 +1367,7 @@ ORACLES = {
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "events_asof_purchase": SQL_EVENTS_ASOF_PURCHASE,
     "events_range_count": SQL_EVENTS_RANGE_COUNT,
+    "quality_docs": SQL_QUALITY_DOCS,
     # dedup_clusters_docs / doc_spans / simhash_docs / lang_id_docs /
     # quality_docs / knn_lsh_embeddings / media_decode: not SQL-expressible
     # (stateful hashing / heuristic scoring / LSH) → rows-only checks.
