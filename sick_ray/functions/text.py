@@ -88,6 +88,13 @@ class LangId:
         self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
         self.cjk = re.compile(r"[一-鿿぀-ヿ]")
         self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+        # batch path: one case-insensitive RE2 alternation per language,
+        # compiled once per actor, run by Arrow's C++ regex kernel
+        self.langs = sorted(_STOPWORDS)
+        self.patterns = [
+            r"(?i)\b(?:" + "|".join(sorted(_STOPWORDS[lang])) + r")\b"
+            for lang in self.langs
+        ]
 
     def classify(self, text: str) -> str:
         if not text:
@@ -107,7 +114,27 @@ class LangId:
         return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.classify(t) for t in batch.column("text").to_pylist()]
+        """Vectorized batch scoring: per-language stopword-hit counts via
+        Arrow regex kernels (no per-row Python). Unlike :meth:`classify`
+        it scores the whole document rather than the first 400 tokens —
+        same ratio test, immaterial for the ranking."""
+        text = pc.fill_null(batch.column("text"), "")
+        n = batch.num_rows
+        ntok = pc.count_substring_regex(text, r"\pL+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        hits = np.empty((len(self.langs), n), dtype=np.int64)
+        for j, pat in enumerate(self.patterns):
+            hits[j] = pc.count_substring_regex(text, pat).to_numpy(
+                zero_copy_only=False)
+        best_j = hits.argmax(axis=0)
+        best_hits = hits[best_j, np.arange(n)]
+        preds = np.array(self.langs, dtype=object)[best_j]
+        und = (best_hits == 0) | (best_hits * 50 < ntok) | (ntok == 0)
+        preds[und] = "und"
+        is_cjk = pc.greater(
+            pc.count_substring_regex(text, r"[一-鿿぀-ヿ]"), 0
+        ).to_numpy(zero_copy_only=False)
+        preds[is_cjk] = "zh"
         return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
 
 
