@@ -33,9 +33,9 @@ from sick_ray.extract import extract_batch
 from sick_ray.stages.components import connected_components
 from sick_ray.stages.exact import add_fingerprints, exact_dedup
 from sick_ray.stages.lsh import (
-    build_sig_lookup,
     candidate_edges,
     distinct_edges,
+    make_sig_lookup_ref,
     verify_edges_broadcast,
     verify_edges_join,
 )
@@ -43,8 +43,11 @@ from sick_ray.stages.minhash import make_minhash_fn
 from sick_ray.state.manifest import StageRunner, input_signature, stage_fingerprint
 
 # above this many canonical docs the verify stage switches from a broadcast
-# signature table to a two-sided hash join
-BROADCAST_SIG_LIMIT = 300_000
+# signature lookup to a two-sided hash join. The lookup is assembled by a
+# Ray task from block refs and read zero-copy from plasma (driver never
+# touches it), so the bound is per-NODE object store: ~520 B/doc → ~10 GB
+# at this limit, comfortably inside a production node's store.
+BROADCAST_SIG_LIMIT = 20_000_000
 
 
 @dataclasses.dataclass
@@ -164,15 +167,9 @@ def _near_phase(meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir):
         edges = distinct_edges(edges, cfg)
         if cfg.verify == "signature":
             if n_canonical <= BROADCAST_SIG_LIMIT:
-                sig_table = pa.concat_tables(
-                    [
-                        b
-                        for b in canonical.select_columns(["fp64", "sig"]).iter_batches(
-                            batch_size=65536, batch_format="pyarrow"
-                        )
-                    ]
+                ref = make_sig_lookup_ref(
+                    canonical.select_columns(["fp64", "sig"]), cfg.num_perm
                 )
-                ref = ray.put(build_sig_lookup(sig_table, cfg.num_perm))
                 edges = verify_edges_broadcast(edges, ref, cfg.verify_threshold)
             else:
                 edges = verify_edges_join(
@@ -193,27 +190,32 @@ def _near_phase(meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir):
     labels = connected_components(edges, cfg)
 
     # ---- attach back: every url gets cluster_id = label(fp64) or own fp ----
-    # Small runs broadcast the label pairs once (ray.put, read per task);
-    # above BROADCAST_SIG_LIMIT canonical docs the attach is a distributed
-    # left-outer hash join — no O(dup-nodes) structure touches the driver.
+    # Small/medium runs broadcast the label pairs as a sorted-array lookup
+    # assembled by a Ray task from the labels Dataset's own block refs
+    # (zero driver traffic, zero-copy plasma reads per task); above
+    # BROADCAST_SIG_LIMIT canonical docs the attach is a distributed
+    # left-outer hash join — no O(dup-nodes) structure anywhere central.
     narrow = meta.select_columns(["url", "warc_ts", "fp64"])
     if n_canonical <= BROADCAST_SIG_LIMIT:
-        lbl_tbl = pa.concat_tables(
-            list(labels.iter_batches(batch_size=262144, batch_format="pyarrow"))
-        ) if labels.count() else None
-        labels_ref = ray.put(
-            (
-                lbl_tbl.column("fp64").to_numpy(zero_copy_only=False),
-                lbl_tbl.column("cluster_id").to_numpy(zero_copy_only=False),
-            )
-            if lbl_tbl is not None
-            else (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        def assemble_labels(*blocks):
+            # empty blocks can be schemaless — skip them
+            blocks = [
+                b for b in blocks if b.num_rows and "fp64" in b.column_names
+            ]
+            if not blocks:
+                return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+            tbl = pa.concat_tables([b.select(["fp64", "cluster_id"]) for b in blocks])
+            nodes = tbl.column("fp64").to_numpy(zero_copy_only=False)
+            roots = tbl.column("cluster_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(nodes, kind="stable")
+            return np.ascontiguousarray(nodes[order]), np.ascontiguousarray(roots[order])
+
+        labels_ref = ray.remote(num_cpus=1)(assemble_labels).remote(
+            *labels.to_arrow_refs()
         )
 
         def attach(batch: pa.Table) -> pa.Table:
-            nodes, roots = ray.get(labels_ref)
-            order = np.argsort(nodes)
-            nodes_s, roots_s = nodes[order], roots[order]
+            nodes_s, roots_s = ray.get(labels_ref)
             fp = batch.column("fp64").to_numpy(zero_copy_only=False)
             cid = fp.copy()
             if len(nodes_s):

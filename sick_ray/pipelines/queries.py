@@ -554,6 +554,57 @@ def q_quality_docs(sf_dir: str):
     )
 
 
+def q_price_quantiles(sf_dir: str):
+    """Distributed exact grouped quantiles (p25/p50/p75/p95 of
+    l_extendedprice by returnflag): hash-partition by group key, one
+    vectorized sort + segmented rank interpolation per partition
+    (quantile_cont semantics — value at rank q*(n-1), linearly
+    interpolated). Exact path is right while a group's values fit one
+    partition; beyond that the scale path is a mergeable sketch
+    (t-digest / KLL) with the same query shape."""
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    QS = (0.25, 0.50, 0.75, 0.95)
+    names = ("p25", "p50", "p75", "p95")
+
+    def quantiles(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"l_returnflag": pa.array([], type=pa.string())}
+            | {nm: pa.array([], type=pa.float64()) for nm in names}
+        )
+        if part.num_rows == 0:
+            return empty
+        flag = part.column("l_returnflag").to_numpy(zero_copy_only=False)
+        price = part.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        order = np.lexsort((price, flag))
+        f_s, v_s = flag[order], price[order]
+        fm = first_mask(f_s)
+        starts = np.flatnonzero(fm)
+        counts = np.diff(np.append(starts, len(f_s)))
+        cols = {"l_returnflag": pa.array(f_s[starts], type=pa.string())}
+        for q, nm in zip(QS, names):
+            pos = starts + q * (counts - 1)
+            lo = pos.astype(np.int64)
+            frac = pos - lo
+            hi = np.minimum(lo + 1, starts + counts - 1)
+            # lower + (upper-lower)*frac — mirror DuckDB's quantile_cont
+            val = v_s[lo] + (v_s[hi] - v_s[lo]) * frac
+            cols[nm] = pa.array(np.round(val, 4), type=pa.float64())
+        return pa.table(cols)
+
+    return grouped_apply(li, ["l_returnflag"], quantiles,
+                         num_partitions=QCFG.num_partitions)
+
+
+SQL_PRICE_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 SQL_QUALITY_DOCS = """
 WITH feats AS (
   SELECT doc_id,
@@ -1335,6 +1386,7 @@ QUERIES = {
     "narrow_int_widths": q_narrow_int_widths,
     "events_asof_purchase": q_events_asof_purchase,
     "events_range_count": q_events_range_count,
+    "price_quantiles": q_price_quantiles,
 }
 
 ORACLES = {
@@ -1368,6 +1420,7 @@ ORACLES = {
     "events_asof_purchase": SQL_EVENTS_ASOF_PURCHASE,
     "events_range_count": SQL_EVENTS_RANGE_COUNT,
     "quality_docs": SQL_QUALITY_DOCS,
+    "price_quantiles": SQL_PRICE_QUANTILES,
     # dedup_clusters_docs / doc_spans / simhash_docs / lang_id_docs /
     # quality_docs / knn_lsh_embeddings / media_decode: not SQL-expressible
     # (stateful hashing / heuristic scoring / LSH) → rows-only checks.

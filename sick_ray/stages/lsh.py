@@ -289,26 +289,58 @@ def distinct_edges(edges_ds, cfg: DedupConfig | None = None):
 # ------------------------------------------------------------- verification
 
 def build_sig_lookup(sig_table: pa.Table, num_perm: int):
-    """(index: {fp64→row}, matrix: (n, num_perm) uint32) for broadcast."""
+    """(fp_sorted: int64 array, matrix sorted to match) — a binary-search
+    lookup that stays zero-copy through the object store: both members are
+    plain contiguous ndarrays, so worker tasks ``ray.get`` them as
+    read-only views of the plasma buffer (no per-worker deserialization —
+    the round-1 dict index was re-built in every worker process)."""
     fp = sig_table.column("fp64").to_numpy(zero_copy_only=False)
     mat = fsl_to_numpy(sig_table.column("sig"), num_perm)
-    return {int(f): i for i, f in enumerate(fp)}, np.ascontiguousarray(mat)
+    order = np.argsort(fp, kind="stable")
+    return fp[order], np.ascontiguousarray(mat[order])
+
+
+def assemble_sig_lookup(num_perm: int, *blocks):
+    """Remote-task body: concat materialized (fp64, sig) blocks → sorted
+    lookup. Run via ``ray.remote`` on block refs so the signature table is
+    assembled IN the cluster — nothing ever streams through the driver.
+    Empty blocks can be schemaless (no columns) and are skipped."""
+    good = [b for b in blocks if b.num_rows and "fp64" in b.column_names]
+    if not good:
+        return (np.empty(0, dtype=np.int64),
+                np.empty((0, num_perm), dtype=np.uint32))
+    tbl = pa.concat_tables([b.select(["fp64", "sig"]) for b in good])
+    return build_sig_lookup(tbl, num_perm)
+
+
+def make_sig_lookup_ref(sig_ds, num_perm: int):
+    """Materialized (fp64, sig) Dataset → ObjectRef of the sorted lookup,
+    built by a Ray task from the dataset's own block refs (zero driver
+    traffic). The returned ref is the broadcast handle for
+    :func:`verify_edges_broadcast`; scale bound = per-node object store
+    (~520 B/doc), NOT driver heap."""
+    import ray
+
+    blocks = sig_ds.to_arrow_refs()
+    build = ray.remote(num_cpus=1)(assemble_sig_lookup)
+    return build.remote(num_perm, *blocks)
 
 
 def verify_edges_broadcast(edges_ds, sig_lookup_ref, threshold: float):
     """Filter candidate edges by estimated Jaccard (fraction of equal
-    signature components). ``sig_lookup_ref`` = ray.put(build_sig_lookup(..))
-    — broadcast once, read per task from the shared object store."""
+    signature components). ``sig_lookup_ref`` → (sorted fp64, sig matrix);
+    tasks read it zero-copy from plasma and probe by searchsorted — no
+    per-row Python, no per-worker index rebuild."""
     import ray
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        index, mat = ray.get(sig_lookup_ref)
+        fp_s, mat = ray.get(sig_lookup_ref)
         u = batch.column("u").to_numpy(zero_copy_only=False)
         v = batch.column("v").to_numpy(zero_copy_only=False)
-        iu = np.fromiter((index[int(x)] for x in u), dtype=np.int64, count=len(u))
-        iv = np.fromiter((index[int(x)] for x in v), dtype=np.int64, count=len(v))
+        iu = np.searchsorted(fp_s, u)
+        iv = np.searchsorted(fp_s, v)
         est = (mat[iu] == mat[iv]).mean(axis=1)
         return batch.filter(pa.array(est >= threshold))
 

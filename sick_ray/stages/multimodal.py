@@ -91,20 +91,19 @@ class FrameSampler:
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from sick_ray.xxh import xxh64_strings
+
+        n = batch.num_rows
         ids = batch.column("media_id").to_numpy(zero_copy_only=False)
-        payloads = batch.column("payload").to_pylist()
-        out_id, out_frame, out_fp = [], [], []
-        for mid, p in zip(ids, payloads):
-            base = xxh64(p or b"")
-            for f in range(self.n_frames):
-                out_id.append(int(mid))
-                out_frame.append(f)
-                out_fp.append((base ^ (f * 0x9E3779B185EBCA87)) & 0x7FFFFFFFFFFFFFFF)
+        base = xxh64_strings(batch.column("payload"))      # one batch pass
+        f = np.arange(self.n_frames, dtype=np.uint64)
+        fp = (base[:, None] ^ (f * np.uint64(0x9E3779B185EBCA87))[None, :]) \
+            & np.uint64(0x7FFFFFFFFFFFFFFF)
         return pa.table(
             {
-                "media_id": pa.array(out_id, type=pa.int64()),
-                "frame": pa.array(out_frame, type=pa.int32()),
-                "frame_fp": pa.array(out_fp, type=pa.int64()),
+                "media_id": pa.array(np.repeat(ids, self.n_frames), type=pa.int64()),
+                "frame": pa.array(np.tile(f.astype(np.int32), n), type=pa.int32()),
+                "frame_fp": pa.array(fp.reshape(-1).view(np.int64), type=pa.int64()),
             }
         )
 

@@ -140,3 +140,33 @@ def test_exact_only_mode(ray_session, small_corpus):
     m = cl.merge(fp, on="url")
     assert (m["cluster_id"] == m["fp64"]).all()
     assert cl["cluster_id"].nunique() == res.n_canonical
+
+
+def test_run_full_matches_run_dedup(result):
+    """The overlapped two-branch pipeline (run_full) must produce the same
+    clusters, counts and a valid spans table as the sequential path."""
+    import os
+
+    import pandas as pd
+
+    from sick_ray.config import DedupConfig
+    from sick_ray.pipelines.dedup import run_full
+
+    res, d = result
+    cfg = DedupConfig(minhash_concurrency=2, uf_shards=2)
+    full = run_full(os.path.join(d, "webtext.parquet"), cfg)
+    assert full.dedup.n_docs == res.n_docs
+    assert full.dedup.n_canonical == res.n_canonical
+    assert full.dedup.n_edges == res.n_edges
+    a = res.clusters.to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    b = (
+        full.dedup.clusters.to_pandas()
+        .sort_values(["url", "warc_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    spans = full.spans.to_pandas()
+    assert full.n_spans == len(spans)
+    assert (spans["end"] > spans["start"]).all()
+    assert set(spans.columns) == {"url", "start", "end"}
+    assert {"exact_sec", "near_sec", "spans_sec", "total_sec"} <= set(full.timings)
