@@ -545,6 +545,52 @@ def q_lang_id_docs(sf_dir: str):
     ).select_columns(["doc_id", "lang", "lang_pred"])
 
 
+def _lang_id_sql() -> str:
+    """DuckDB oracle for LangId's batch path, generated from the SAME
+    _STOPWORDS tables and regexes the engine uses (both run RE2, so the
+    per-language alternation counts are identical): per-language
+    case-insensitive stopword-hit counts, argmax with first-in-sorted-
+    order tie-break (np.argmax semantics), und on zero/<2% hits, CJK
+    override. Regenerating from the shared constant keeps the oracle in
+    lockstep with the engine — the conformance discipline of the
+    reference's cross-implementation tests."""
+    from sick_ray.functions.text import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    hits = ",\n    ".join(
+        "length(regexp_extract_all(coalesce(text, ''), "
+        f"'(?i)\\b(?:{'|'.join(sorted(_STOPWORDS[lang]))})\\b')) AS h_{lang}"
+        for lang in langs
+    )
+    g = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    argmax = "\n       ".join(
+        "WHEN "
+        + " AND ".join(f"h_{lang} >= h_{o}" for o in langs[i + 1:])
+        + f" THEN '{lang}'"
+        if i < len(langs) - 1
+        else f"ELSE '{lang}'"
+        for i, lang in enumerate(langs)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    length(regexp_extract_all(coalesce(text, ''), '\\pL+')) AS ntok,
+    {hits},
+    regexp_matches(coalesce(text, ''), '[一-鿿぀-ヿ]') AS cjk
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN cjk THEN 'zh'
+       WHEN ntok = 0 OR {g} = 0 OR {g} * 50 < ntok THEN 'und'
+       {argmax}
+  END AS lang_pred
+FROM s
+"""
+
+
+SQL_LANG_ID_DOCS = _lang_id_sql()
+
+
 def q_quality_docs(sf_dir: str):
     from sick_ray.functions.text import add_quality_score
 
@@ -907,6 +953,142 @@ SELECT a.vec_id AS u, b.vec_id AS v,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.3
+"""
+
+
+def q_ngram_allpairs_jaccard(sf_dir: str):
+    """EXACT all-pairs k-shingle Jaccard ≥ 0.5 over documents via a
+    distributed inverted index — no LSH approximation anywhere, so the
+    pair set is deterministic and a DuckDB self-join oracle reproduces it
+    row-exactly (the engine-as-its-own-oracle discipline of the
+    reference's cross-implementation conformance tests,
+    json-sick/SickTests.cs:202-204).
+
+    Plan: explode per-doc DISTINCT shingle hashes, each row carrying its
+    doc's set size (8 extra bytes/row beats a second O(n_docs) join) →
+    co-locate by shingle (grouped_apply) → emit within-group doc pairs →
+    sum pair multiplicities = |A∩B| (map-side partial combine before the
+    pair shuffle) → integer threshold 3·inter ≥ |A|+|B| ⇔ J ≥ 0.5 (no
+    float compare to drift from SQL). Only narrow int64 rows ever move.
+    At web scale a shingle shared by g docs emits C(g,2) pairs — cap
+    document frequency first (stopword-shingle removal), which changes
+    semantics and so stays out of the oracle-checked query."""
+    from sick_ray.shuffle import segment_pairs
+    from sick_ray.stages.minhash import shingle_hashes, tokenize_hashes_col
+
+    k = QCFG.shingle_k
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        th, toff = tokenize_hashes_col(batch.column("text"), seed=QCFG.seed)
+        sh, soff = shingle_hashes(th, toff, k)
+        n = batch.num_rows
+        counts = soff[1:] - soff[:-1]
+        doc_of = np.repeat(np.arange(n), counts)
+        order = np.lexsort((sh, doc_of))
+        sh_s, doc_s = sh[order], doc_of[order]
+        keep = np.ones(len(sh_s), dtype=bool)
+        if len(sh_s) > 1:
+            keep[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        sh_u, doc_u = sh_s[keep], doc_s[keep]
+        sizes = np.zeros(n, dtype=np.int64)
+        np.add.at(sizes, doc_u, 1)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s": pa.array(sh_u.view(np.int64)),
+            "d": pa.array(did[doc_u]),
+            "sz": pa.array(sizes[doc_u]),
+        })
+
+    ex = docs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_fn(part: pa.Table) -> pa.Table:
+        s = part.column("s").to_numpy(zero_copy_only=False)
+        d = part.column("d").to_numpy(zero_copy_only=False)
+        sz = part.column("sz").to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        s, d, sz = s[order], d[order], sz[order]
+        # exactness requires every pair: cap is effectively unbounded
+        i, j, _, _ = segment_pairs(s, cap=1 << 60)
+        u, v, su, sv = d[i], d[j], sz[i], sz[j]
+        swap = u > v
+        return pa.table({
+            "u": pa.array(np.where(swap, v, u)),
+            "v": pa.array(np.where(swap, u, v)),
+            "size_u": pa.array(np.where(swap, sv, su)),
+            "size_v": pa.array(np.where(swap, su, sv)),
+            "cnt": pa.array(np.ones(len(u), dtype=np.int64)),
+        })
+
+    pair_rows = grouped_apply(ex, ["s"], pairs_fn, num_partitions=QCFG.num_partitions)
+
+    def _combine(tbl: pa.Table, final: bool) -> pa.Table:
+        if tbl.num_rows == 0:
+            cols = ["u", "v", "inter", "size_u", "size_v"] if final else None
+            return (
+                pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+                if final else tbl
+            )
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        su = tbl.column("size_u").to_numpy(zero_copy_only=False)
+        sv = tbl.column("size_v").to_numpy(zero_copy_only=False)
+        cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v, su, sv, cnt = u[order], v[order], su[order], sv[order], cnt[order]
+        fm = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            fm[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        starts = np.flatnonzero(fm)
+        inter = np.add.reduceat(cnt, starts)
+        u, v, su, sv = u[starts], v[starts], su[starts], sv[starts]
+        if final:
+            keep = 3 * inter >= su + sv
+            return pa.table({
+                "u": pa.array(u[keep]), "v": pa.array(v[keep]),
+                "inter": pa.array(inter[keep]),
+                "size_u": pa.array(su[keep]), "size_v": pa.array(sv[keep]),
+            })
+        return pa.table({
+            "u": pa.array(u), "v": pa.array(v),
+            "size_u": pa.array(su), "size_v": pa.array(sv),
+            "cnt": pa.array(inter),
+        })
+
+    return grouped_apply(
+        pair_rows, ["u", "v"], lambda t: _combine(t, True),
+        num_partitions=QCFG.num_partitions,
+        partial=lambda t: _combine(t, False),
+    )
+
+
+# k-shingles as space-joined token strings; [0-9a-z]+ over lower(text) is
+# byte-exact with the engine's tokenizer on ASCII corpora (minhash.py:47-56);
+# docs with 0 < n_tok < k contribute ONE whole-doc shingle (shingle_hashes
+# short-doc rule); 3*inter >= size_u+size_v is J >= 0.5 in integers.
+SQL_NGRAM_ALLPAIRS_JACCARD = """
+WITH ex AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(CASE
+      WHEN len(t) >= 5 THEN
+        [array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)]
+      WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+      ELSE CAST([] AS VARCHAR[]) END) AS s
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS t
+          FROM documents)
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.u, p.v, p.inter, su.sz AS size_u, sv.sz AS size_v
+FROM pairs p
+JOIN sizes su ON su.doc_id = p.u
+JOIN sizes sv ON sv.doc_id = p.v
+WHERE 3 * p.inter >= su.sz + sv.sz
 """
 
 
@@ -1374,6 +1556,7 @@ QUERIES = {
     "orders_by_priority": q_orders_by_priority,
     "embedding_first_last": q_embedding_first_last,
     "ngram_exact_pairs": q_ngram_exact_pairs,
+    "ngram_allpairs_jaccard": q_ngram_allpairs_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
     "winnow_fp_docs": q_winnow_fp_docs,
     "cosine_pairs_exact": q_cosine_pairs_exact,
@@ -1409,6 +1592,8 @@ ORACLES = {
     "orders_by_priority": SQL_ORDERS_BY_PRIORITY,
     "embedding_first_last": SQL_EMBEDDING_FIRST_LAST,
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
+    "ngram_allpairs_jaccard": SQL_NGRAM_ALLPAIRS_JACCARD,
+    "lang_id_docs": SQL_LANG_ID_DOCS,
     "top_terms": SQL_TOP_TERMS,
     "user_running_value": SQL_USER_RUNNING_VALUE,
     "prev_event_value": SQL_PREV_EVENT_VALUE,
