@@ -400,9 +400,18 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
         make_sa_span_finder(cfg), batch_format="pyarrow", batch_size=SA_BATCH_DOCS
     ).materialize()
     anchors = docs.map_batches(make_anchor_emitter(cfg), batch_format="pyarrow", batch_size=None)
+    # STAGED, not fused: a single streaming execution containing BOTH the
+    # whash sort and the downstream uhash merge sort scales badly — the
+    # executor splits the CPU pool across the chained AllToAll stages and
+    # each runs far below cluster width (measured at 400k docs / 8 CPUs:
+    # fused chain 184 s vs the same stages run to completion one at a
+    # time 64 s, and fused 4→8 CPU scaling collapses to 1.35× vs 1.96×
+    # staged). Each sort is a barrier anyway; materializing its (narrow)
+    # output just makes the barrier explicit and gives every stage the
+    # whole cluster.
     seeds = grouped_apply(
         anchors, ["whash"], make_anchor_survivors(cfg), num_partitions=cfg.num_partitions
-    )
+    ).materialize()
 
     def seed_to_span(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -434,7 +443,8 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
 
     if url_list is not None and len(url_list) <= BROADCAST_URLMAP_LIMIT:
         uh = xxh64_strings(list(url_list)).view(np.int64)
-        ref = ray.put(dict(zip(uh.tolist(), url_list)))
+        order = np.argsort(uh, kind="stable")
+        ref = ray.put((uh[order], np.asarray(list(url_list), dtype=object)[order]))
     else:
         url_map_ds = docs.select_columns(["url"]).map_batches(
             url_pairs, batch_format="pyarrow"
@@ -445,15 +455,17 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
                 on=("uhash",), right_on=("uhash",),
             ).select_columns(["url", "start", "end"])
         pairs = url_map_ds.to_pandas()
-        ref = ray.put(dict(zip(pairs["uhash"], pairs["url"])))
+        uh = pairs["uhash"].to_numpy()
+        order = np.argsort(uh, kind="stable")
+        ref = ray.put((uh[order], pairs["url"].to_numpy()[order]))
 
     def attach(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+        uh_s, urls_s = ray.get(ref)
         uh = batch.column("uhash").to_numpy(zero_copy_only=False)
-        urls = [m[int(x)] for x in uh]
+        pos = np.searchsorted(uh_s, uh)
         return pa.table(
             {
-                "url": pa.array(urls, type=pa.string()),
+                "url": pa.array(urls_s[pos], type=pa.string()),
                 "start": batch.column("start"),
                 "end": batch.column("end"),
             }
