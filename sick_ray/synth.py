@@ -127,12 +127,18 @@ def generate_webtext(n: int, seed: int = 42):
             toks[-len(_NUMERIC_TOKENS):] = _NUMERIC_TOKENS
         base_rows.append(add(" ".join(toks), lang, "base"))
 
+    # snapshot as ndarray ONCE: Generator.choice(list) re-converts the whole
+    # list per call (np.asarray), turning the planted-dup loops quadratic —
+    # 800k-doc generation measured >60 min before, minutes after. asarray of
+    # the same ints yields the same int64 array, so every draw is identical.
+    base_arr = np.asarray(base_rows, dtype=np.int64)
+
     # exact duplicate groups, sizes 2..50 with a long tail
     exact_pairs: list[tuple[int, int]] = []
     remaining = n_exact_extra
     while remaining > 0:
         size_extra = int(min(1 + rng.pareto(1.3), 49, remaining))
-        src = int(rng.choice(base_rows))
+        src = int(rng.choice(base_arr))
         for _ in range(size_extra):
             dup = add(texts[src], doc_lang[src], "exact", src=src)
             exact_pairs.append((src, dup))
@@ -142,7 +148,7 @@ def generate_webtext(n: int, seed: int = 42):
     near_rows: list[tuple[int, int, float]] = []  # (src, dup, realized J)
     j_targets = [0.7, 0.8, 0.9, 0.95]
     for i in range(n_near):
-        src = int(rng.choice(base_rows))
+        src = int(rng.choice(base_arr))
         tj = j_targets[i % 4]
         toks = texts[src].split(" ")
         mut = _mutate(rng, toks, vocabs[doc_lang[src]], tj)
@@ -161,7 +167,7 @@ def generate_webtext(n: int, seed: int = 42):
     # shared substrings: verbatim >=256-byte char span from another doc
     span_rows: list[tuple[int, int, int, int]] = []  # (row, start, end, src)
     for i in range(n_substr):
-        src = int(rng.choice(base_rows))
+        src = int(rng.choice(base_arr))
         stoks = texts[src].split(" ")
         # take a token span of >= 256 chars
         s0 = int(rng.integers(0, max(1, len(stoks) - 60)))
