@@ -178,12 +178,18 @@ def star_components(edges_ds, cfg):
     cur = edges_ds
     prev_stats = None
     for _ in range(MAX_STAR_ROUNDS):
+        # staged, not fused: chaining the large-star sort into the
+        # small-star sort in one streaming execution splits the CPU pool
+        # across the chain (same pathology measured in the spans stage:
+        # fused two-sort DAG ran 2.9x slower than staged at 8 CPUs and
+        # its CPU-scaling collapsed). The round's edge table is narrow —
+        # the extra materialize is one plasma write.
         ls = grouped_apply(
             cur.map_batches(_emit_both_directions, batch_format="pyarrow", batch_size=None),
             ["u"],
             _large_star_partition,
             num_partitions=cfg.num_partitions,
-        )
+        ).materialize()
         ss = grouped_apply(
             ls.map_batches(_orient_max_min, batch_format="pyarrow", batch_size=None),
             ["u"],
