@@ -50,7 +50,7 @@ def entry() -> Any:
     from sick_ray.pipelines.dedup import run_dedup
     from sick_ray.pipelines.queries import _docs_as_webtext
 
-    cfg = DedupConfig(num_partitions=8, minhash_concurrency=2, uf_shards=2)
+    cfg = DedupConfig(num_partitions=8, minhash_concurrency=2)
     res = run_dedup(_docs_as_webtext("/root/testdata/sf0.001"), cfg)
     return res.clusters
 

@@ -99,7 +99,6 @@ def run_bench() -> dict:
     cfg = DedupConfig(
         minhash_concurrency=max(2, NUM_CPUS // 2),
         num_partitions=64,
-        uf_shards=max(2, NUM_CPUS // 4),
     )
 
     # two timed passes, best reported: first-pass worker spawn / page-cache /

@@ -39,8 +39,8 @@ class DedupConfig:
     # --- candidate verification (stage 2b→2c) ---
     verify: str = "signature"   # "signature" | "none"
     verify_threshold: float = 0.72  # est. Jaccard (matching sig fraction)
-    # --- clustering (stage 2c) ---
-    uf_shards: int = 8          # union-find actor shards
+    # --- clustering (stage 2c: alternating large-star/small-star rounds
+    # over the edges Dataset; Kiveris et al.) ---
     driver_uf_max_edges: int = 2_000_000  # below this, fold edges on driver
     # --- substring dedup (stage 3) ---
     min_span: int = 256         # bytes; minimal duplicated span to report

@@ -83,34 +83,63 @@ def make_simhash_edges(max_hamming: int, cap: int = 65536):
     def emit(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
             return pa.table(
-                {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
+                {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64()),
+                 "kind": pa.array([], type=pa.int8())}
             )
         bkt = part.column("bkt").to_numpy(zero_copy_only=False)
         ids = part.column("id").to_numpy(zero_copy_only=False)
         sig = part.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
         order = sort_index(bkt, ids)
         bk, idn, sg = bkt[order], ids[order], sig[order]
-        i_idx, j_idx, _, _ = segment_pairs(bk, cap)
+        i_idx, j_idx, tp, tg = segment_pairs(bk, cap)
         u, v = idn[i_idx], idn[j_idx]
         x = sg[i_idx] ^ sg[j_idx]
         # popcount via uint8 lookup
         lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
         ham = lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
         keep = (ham <= max_hamming) & (u != v)
+        out_u = [u[keep]]
+        out_v = [v[keep]]
+        out_k = [np.zeros(int(keep.sum()), dtype=np.int8)]
+        if tp or tg:
+            # counter row: oversized buckets degraded to star+chain — the
+            # shortfall is COUNTED, never silent (kind=2, u=pairs, v=groups)
+            out_u.append(np.array([tp], dtype=np.int64))
+            out_v.append(np.array([tg], dtype=np.int64))
+            out_k.append(np.full(1, 2, dtype=np.int8))
         return pa.table(
-            {"u": pa.array(u[keep], type=pa.int64()), "v": pa.array(v[keep], type=pa.int64())}
+            {"u": pa.array(np.concatenate(out_u), type=pa.int64()),
+             "v": pa.array(np.concatenate(out_v), type=pa.int64()),
+             "kind": pa.array(np.concatenate(out_k), type=pa.int8())}
         )
 
     return emit
 
 
 def simhash_edges(ds, cfg: DedupConfig | None = None, max_hamming: int = 3,
-                  id_col: str = "fp64"):
-    """Dataset with (id_col, simhash) → candidate duplicate edges (u, v)."""
+                  id_col: str = "fp64", counters: dict | None = None):
+    """Dataset with (id_col, simhash) → candidate duplicate edges (u, v).
+
+    ``counters``: optional dict filled with truncated_pairs /
+    truncated_groups from the capped per-bucket emitter."""
     cfg = cfg or DedupConfig()
     blocks = ds.map_batches(
         lambda b: explode_blocks(b, id_col), batch_format="pyarrow"
     )
-    return grouped_apply(
+    raw = grouped_apply(
         blocks, ["bkt"], make_simhash_edges(max_hamming), num_partitions=cfg.num_partitions
+    )
+    import pyarrow.compute as pc
+
+    if counters is not None:
+        raw = raw.materialize()
+        cnt = raw.map_batches(
+            lambda b: b.filter(pc.equal(b.column("kind"), 2)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        counters["truncated_pairs"] = int(cnt["u"].sum()) if len(cnt) else 0
+        counters["truncated_groups"] = int(cnt["v"].sum()) if len(cnt) else 0
+    return raw.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)).select(["u", "v"]),
+        batch_format="pyarrow",
     )

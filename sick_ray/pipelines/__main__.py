@@ -50,7 +50,6 @@ def main(argv=None) -> int:
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     cfg = DedupConfig(
         minhash_concurrency=max(2, ncpu // 2),
-        uf_shards=max(2, ncpu // 4),
         num_partitions=args.partitions,
     )
     t0 = time.time()

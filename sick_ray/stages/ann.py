@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from sick_ray.shuffle import grouped_apply, mix64, segment_pairs, sort_index
+from sick_ray.shuffle import first_mask, grouped_apply, mix64, segment_pairs, sort_index
 
 from sick_ray.config import AnnConfig
 
@@ -87,36 +87,81 @@ class HyperplaneHasher:
         self.planes = rng.standard_normal((cfg.n_tables, cfg.n_planes, dim))
         self.cfg = cfg
 
-    def bucket_keys(self, m: np.ndarray) -> np.ndarray:
-        """(n, n_tables) int64 bucket keys (table id mixed into the key)."""
+    def raw_patterns(self, m: np.ndarray) -> np.ndarray:
+        """(n, n_tables) uint64 sign patterns (pre-mix, for multiprobe)."""
         n = m.shape[0]
-        keys = np.empty((n, self.planes.shape[0]), dtype=np.int64)
+        vals = np.empty((n, self.planes.shape[0]), dtype=np.uint64)
         for t in range(self.planes.shape[0]):
             bits = (m @ self.planes[t].T) > 0                 # (n, n_planes)
             val = np.zeros(n, dtype=np.uint64)
             for j in range(bits.shape[1]):
                 val = (val << np.uint64(1)) | bits[:, j].astype(np.uint64)
-            keys[:, t] = mix64(val * np.uint64(0x9E3779B185EBCA87) + np.uint64(t)).view(
-                np.int64
-            )
+            vals[:, t] = val
+        return vals
+
+    @staticmethod
+    def key_of(vals: np.ndarray, t: int) -> np.ndarray:
+        """Mix a table's raw patterns into int64 bucket keys."""
+        return mix64(
+            vals * np.uint64(0x9E3779B185EBCA87) + np.uint64(t)
+        ).view(np.int64)
+
+    def bucket_keys(self, m: np.ndarray) -> np.ndarray:
+        """(n, n_tables) int64 bucket keys (table id mixed into the key)."""
+        vals = self.raw_patterns(m)
+        keys = np.empty(vals.shape, dtype=np.int64)
+        for t in range(vals.shape[1]):
+            keys[:, t] = self.key_of(vals[:, t], t)
         return keys
+
+
+def assemble_emb_lookup(id_col: str, emb_col: str, *blocks):
+    """Remote-task body: concat materialized embedding blocks → (sorted
+    ids, normalized float32 matrix). Runs via ``ray.remote`` on block refs
+    so the lookup is assembled IN the cluster — nothing streams through
+    the driver (same pattern as lsh.assemble_sig_lookup)."""
+    good = [b for b in blocks if b.num_rows and id_col in b.column_names]
+    if not good:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.float32)
+    ids = np.concatenate(
+        [b.column(id_col).to_numpy(zero_copy_only=False) for b in good]
+    ).astype(np.int64)
+    mats = [_normalize(_emb_matrix(b.column(emb_col))) for b in good]
+    m = np.concatenate(mats).astype(np.float32)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], np.ascontiguousarray(m[order])
 
 
 def embedding_near_dup_edges(emb_ds, threshold: float = 0.95,
                              cfg: AnnConfig | None = None,
                              id_col: str = "vec_id", emb_col: str = "embedding",
-                             num_partitions: int = 32):
-    """Embedding-cosine near-duplicate candidate edges (u, v, cosine).
+                             num_partitions: int = 32,
+                             counters: dict | None = None,
+                             round_to: int = 6):
+    """Embedding-cosine near-duplicate edges (u, v, cosine), distinct pairs.
 
-    Hyperplane-LSH bucket shuffle (same family as knn_lsh) → per-partition
-    star candidates per bucket → exact cosine verify ≥ threshold. The
-    embedding payload rides the bucket rows once per table; for very wide
-    embeddings lower cfg.n_tables or pre-reduce dimensionality upstream.
+    Three narrow stages (round-3 rework — the embedding payload no longer
+    rides the bucket shuffle ×n_tables):
+
+    1. bucket rows ``(bkt:int64, id:int64)`` — 16 B/row, one per table;
+    2. per-bucket ALL-pairs emission (hub-spoke stars dropped true pairs,
+       ADVICE r1) with a COUNTED cap, then cross-table pair dedup — only
+       (u, v) int64 rows ever shuffle;
+    3. exact cosine verify against an embedding lookup assembled in the
+       cluster from the dataset's own block refs (plasma broadcast, zero
+       driver traffic) — the labels-attach pattern from dedup.py. Above a
+       per-node object-store budget, swap this stage for the two-join
+       variant (lsh.verify_edges_join shape); the edge set is tiny either
+       way.
+
+    ``counters``: optional dict filled with truncated_pairs /
+    truncated_groups from the capped emitter — no silent caps.
     """
-    import pyarrow.compute as pc  # noqa: F401  (kept for parity with callers)
+    import ray
 
     cfg = cfg or AnnConfig()
     state = {}
+    emb_ds = emb_ds.materialize()          # consumed by buckets AND lookup
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
         m = _normalize(_emb_matrix(batch.column(emb_col)))
@@ -125,16 +170,10 @@ def embedding_near_dup_edges(emb_ds, threshold: float = 0.95,
         keys = state["h"].bucket_keys(m)                     # (n, T)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         n, T = keys.shape
-        emb_fixed = np.ascontiguousarray(m, dtype=np.float32)
-        dim = emb_fixed.shape[1]
-        reps = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.tile(emb_fixed, (T, 1)).reshape(-1), type=pa.float32()), dim
-        )
         return pa.table(
             {
                 "bkt": pa.array(keys.T.reshape(-1), type=pa.int64()),
                 "id": pa.array(np.tile(ids, T), type=pa.int64()),
-                "emb": reps,
             }
         )
 
@@ -142,60 +181,162 @@ def embedding_near_dup_edges(emb_ds, threshold: float = 0.95,
         if part.num_rows == 0:
             return pa.table(
                 {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64()),
-                 "cosine": pa.array([], type=pa.float64())}
+                 "kind": pa.array([], type=pa.int8())}
             )
         bkt = part.column("bkt").to_numpy(zero_copy_only=False)
         ids = part.column("id").to_numpy(zero_copy_only=False)
-        emb_col_ = part.column("emb")
-        if isinstance(emb_col_, pa.ChunkedArray):
-            emb_col_ = emb_col_.combine_chunks()
-        dim = emb_col_.type.list_size
-        m = emb_col_.flatten().to_numpy(zero_copy_only=False).reshape(len(part), dim)
         order = sort_index(bkt, ids)
         bk, idn = bkt[order], ids[order]
-        # ALL within-bucket pairs (hub-spoke stars dropped true near-dup
-        # pairs when the hub was dissimilar to both — ADVICE.md r1)
-        i_idx, j_idx, _, _ = segment_pairs(bk, cap=65536)
-        ui = order[i_idx]
-        vi = order[j_idx]
-        cos = np.einsum("ij,ij->i", m[ui].astype(np.float64), m[vi].astype(np.float64))
-        keep = (cos >= threshold) & (ids[ui] != ids[vi])
+        # drop duplicate (bkt, id) rows so C(g,2) counts distinct members
+        fm = first_mask(bk) | np.concatenate([[True], idn[1:] != idn[:-1]])
+        bk, idn = bk[fm], idn[fm]
+        i_idx, j_idx, tp, tg = segment_pairs(bk, cap=65536)
+        u = np.minimum(idn[i_idx], idn[j_idx])
+        v = np.maximum(idn[i_idx], idn[j_idx])
+        keep = u != v
+        u, v = u[keep], v[keep]
+        # within-partition pair dedup (same pair from several tables)
+        o2 = np.lexsort((v, u))
+        u, v = u[o2], v[o2]
+        nk = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            nk[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        out_u = [u[nk]]
+        out_v = [v[nk]]
+        out_k = [np.zeros(int(nk.sum()), dtype=np.int8)]
+        if tp or tg:
+            out_u.append(np.array([tp], dtype=np.int64))
+            out_v.append(np.array([tg], dtype=np.int64))
+            out_k.append(np.full(1, 2, dtype=np.int8))
         return pa.table(
             {
-                "u": pa.array(np.minimum(ids[ui][keep], ids[vi][keep]), type=pa.int64()),
-                "v": pa.array(np.maximum(ids[ui][keep], ids[vi][keep]), type=pa.int64()),
-                "cosine": pa.array(np.round(cos[keep], 6), type=pa.float64()),
+                "u": pa.array(np.concatenate(out_u), type=pa.int64()),
+                "v": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "kind": pa.array(np.concatenate(out_k), type=pa.int8()),
             }
         )
 
-    rows = emb_ds.map_batches(bucket_rows, batch_format="pyarrow")
-    return grouped_apply(rows, ["bkt"], emit, num_partitions=num_partitions)
+    rows = emb_ds.select_columns([id_col, emb_col]).map_batches(
+        bucket_rows, batch_format="pyarrow"
+    )
+    raw = grouped_apply(rows, ["bkt"], emit, num_partitions=num_partitions)
+    if counters is not None:
+        raw = raw.materialize()
+        import pyarrow.compute as pc
+
+        cnt = raw.map_batches(
+            lambda b: b.filter(pc.equal(b.column("kind"), 2)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        counters["truncated_pairs"] = int(cnt["u"].sum()) if len(cnt) else 0
+        counters["truncated_groups"] = int(cnt["v"].sum()) if len(cnt) else 0
+
+    def only_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("kind"), 0)).select(["u", "v"])
+
+    def dedup_pairs(part: pa.Table) -> pa.Table:
+        u = part.column("u").to_numpy(zero_copy_only=False)
+        v = part.column("v").to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, u))
+        us, vs = u[o], v[o]
+        keep = np.ones(len(us), dtype=bool)
+        if len(us) > 1:
+            keep[1:] = (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])
+        return pa.table(
+            {"u": pa.array(us[keep], type=pa.int64()),
+             "v": pa.array(vs[keep], type=pa.int64())}
+        )
+
+    pairs = grouped_apply(
+        raw.map_batches(only_edges, batch_format="pyarrow"),
+        ["u"], dedup_pairs, num_partitions=num_partitions,
+    )
+
+    blocks = emb_ds.to_arrow_refs()
+    build = ray.remote(num_cpus=1)(assemble_emb_lookup)
+    lookup_ref = build.remote(id_col, emb_col, *blocks)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64()),
+             "cosine": pa.array([], type=pa.float64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids_s, m = ray.get(lookup_ref)
+        if len(ids_s) == 0:
+            return empty
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        hi = len(ids_s) - 1
+        iu = np.minimum(np.searchsorted(ids_s, u), hi)
+        iv = np.minimum(np.searchsorted(ids_s, v), hi)
+        found = (ids_s[iu] == u) & (ids_s[iv] == v)
+        cos = np.einsum(
+            "ij,ij->i", m[iu].astype(np.float64), m[iv].astype(np.float64)
+        )
+        keep = found & (cos >= threshold)
+        return pa.table(
+            {
+                "u": pa.array(u[keep], type=pa.int64()),
+                "v": pa.array(v[keep], type=pa.int64()),
+                "cosine": pa.array(np.round(cos[keep], round_to), type=pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
 
 def knn_lsh(emb_ds, queries: np.ndarray, k: int = 10, cfg: AnnConfig | None = None,
-            id_col: str = "vec_id", emb_col: str = "embedding"):
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            multiprobe: int = 1):
     """Approximate cosine top-k: score only vectors sharing ≥1 hyperplane-LSH
     bucket with the query (any of n_tables). Same output schema as
-    knn_bruteforce; recall measured against it in tests."""
+    knn_bruteforce; recall measured against it in tests.
+
+    ``multiprobe=1`` additionally probes every 1-bit-flipped neighbor of
+    each query's sign pattern (n_planes extra buckets per table) — the
+    standard multiprobe-LSH recall fix for sparse buckets: round 2's
+    default config returned 1 row where k=10 because a 16-bit bucket over
+    500 vectors has essentially no collisions. 0 disables."""
     import ray
 
     cfg = cfg or AnnConfig()
     qm = _normalize(np.atleast_2d(np.asarray(queries)))
     dim = qm.shape[1]
     hasher = HyperplaneHasher(dim, cfg)
-    qkeys = hasher.bucket_keys(qm)                           # (nq, T)
-    state_ref = ray.put((qm, qkeys, hasher.planes))
+    qvals = hasher.raw_patterns(qm)                          # (nq, T) uint64
+    nq = qm.shape[0]
+    T = qvals.shape[1]
+    # expand each query pattern with its 1-bit-flip neighborhood
+    if multiprobe >= 1:
+        flips = np.uint64(1) << np.arange(cfg.n_planes, dtype=np.uint64)
+        probe_vals = np.concatenate(
+            [qvals[:, None, :], qvals[:, None, :] ^ flips[None, :, None]], axis=1
+        )                                                    # (nq, 1+P, T)
+    else:
+        probe_vals = qvals[:, None, :]
+    n_probe = probe_vals.shape[1]
+    qk = np.empty((nq * n_probe, T), dtype=np.int64)
+    for t in range(T):
+        qk[:, t] = HyperplaneHasher.key_of(
+            np.ascontiguousarray(probe_vals[:, :, t]).reshape(-1), t
+        )
+    q_of_probe = np.repeat(np.arange(nq), n_probe)
+    state_ref = ray.put((qm, qk, q_of_probe, hasher.planes))
 
     def partial(batch: pa.Table) -> pa.Table:
-        q, qk, planes = ray.get(state_ref)
+        q, qk, qop, planes = ray.get(state_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         m = _normalize(_emb_matrix(batch.column(emb_col)))
         h = HyperplaneHasher.__new__(HyperplaneHasher)
         h.planes = planes
         keys = h.bucket_keys(m)                              # (nb, T)
-        # candidates: any table key matches any query's key for that table.
-        # Vectorized run expansion: sort batch keys per table, locate each
-        # query's run by searchsorted(left/right), expand via repeat/cumsum.
+        # candidates: any table key matches any query probe's key for that
+        # table. Vectorized run expansion: sort batch keys per table,
+        # locate each probe's run by searchsorted(left/right), expand.
         nq = q.shape[0]
         out_q, out_v = [], []
         for t in range(keys.shape[1]):
@@ -208,7 +349,7 @@ def knn_lsh(emb_ds, queries: np.ndarray, k: int = 10, cfg: AnnConfig | None = No
             if not total:
                 continue
             off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-            out_q.append(np.repeat(np.arange(nq), cnt))
+            out_q.append(np.repeat(qop, cnt))
             out_v.append(order[np.repeat(lo, cnt) + off])
         if not out_q:
             return pa.table(

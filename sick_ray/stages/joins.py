@@ -106,6 +106,16 @@ def _densify(k_l: np.ndarray, k_r: np.ndarray):
     return np.searchsorted(uniq, k_l), np.searchsorted(uniq, k_r)
 
 
+def _col_rank(col) -> np.ndarray:
+    """Deterministic dense rank of a column's values (for tie-breaking),
+    independent of row order within the partition."""
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype == object:
+        arr = np.asarray([str(x) for x in arr])
+    _, inv = np.unique(arr, return_inverse=True)
+    return inv
+
+
 def _check_span(n_codes: int, span: np.int64):
     # composite = code * span + rel must stay inside int64
     if int(n_codes) * int(span) >= (1 << 62):
@@ -151,7 +161,15 @@ def asof_join(left_ds, right_ds, by: str, on: str,
         _check_span(max(c_l.max(), c_r.max()) + 1, span)
         comp_l = c_l * span + (t_l - tmin)
         comp_r = c_r * span + (t_r - tmin)
-        r_order = np.argsort(comp_r, kind="stable")
+        # deterministic tie-break on equal right-side (key, ts): rank every
+        # payload column and lexsort them under comp_r, so the row picked
+        # by searchsorted(side="right")-1 is the greatest in (t,
+        # payload-sort) order — a bare stable argsort resolves ties by Ray
+        # block arrival order, which varies run to run
+        ranks = tuple(
+            _col_rank(rt.column(f"r_{c}")) for c in reversed(right_cols)
+        )
+        r_order = np.lexsort(ranks + (comp_r,))
         pos = np.searchsorted(comp_r[r_order], comp_l, side="right") - 1
         valid = pos >= 0
         safe = np.maximum(pos, 0)

@@ -339,10 +339,17 @@ def verify_edges_broadcast(edges_ds, sig_lookup_ref, threshold: float):
         fp_s, mat = ray.get(sig_lookup_ref)
         u = batch.column("u").to_numpy(zero_copy_only=False)
         v = batch.column("v").to_numpy(zero_copy_only=False)
-        iu = np.searchsorted(fp_s, u)
-        iv = np.searchsorted(fp_s, v)
+        # guarded probe: an endpoint missing from the lookup must drop the
+        # edge, not index out of bounds / compare a wrong row (a bare
+        # searchsorted did both; the old dict failed loudly with KeyError)
+        hi = max(len(fp_s) - 1, 0)
+        iu = np.minimum(np.searchsorted(fp_s, u), hi)
+        iv = np.minimum(np.searchsorted(fp_s, v), hi)
+        if len(fp_s) == 0:
+            return batch.slice(0, 0)
+        found = (fp_s[iu] == u) & (fp_s[iv] == v)
         est = (mat[iu] == mat[iv]).mean(axis=1)
-        return batch.filter(pa.array(est >= threshold))
+        return batch.filter(pa.array(found & (est >= threshold)))
 
     return edges_ds.map_batches(verify, batch_format="pyarrow")
 

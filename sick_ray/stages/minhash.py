@@ -95,7 +95,7 @@ def _string_col_buffers(col):
     return data, offs
 
 
-def tokenize_hashes_col(col, seed: int = 0):
+def tokenize_hashes_col(col, seed: int = 0, return_spans: bool = False):
     """All docs' token hashes packed flat, zero-copy from an Arrow string
     column. Returns (token_hashes uint64, doc_offsets int64[n+1]).
 
@@ -104,6 +104,14 @@ def tokenize_hashes_col(col, seed: int = 0):
     doc); docs containing non-ASCII bytes fall back to the exact Unicode
     regex per doc and are merged back in doc order. Round 1 measured the
     per-doc regex at ~60% of the minhash stage's CPU.
+
+    ``return_spans=True`` additionally returns ``(t_start, t_end, low)`` —
+    per-token byte ranges into the lowercased buffer — so callers needing
+    token STRINGS (e.g. word count) can slice representatives from the
+    buffer the hashes were computed over instead of re-tokenizing in
+    Python. Spans are only available on the all-ASCII fast path; when any
+    doc fell back to the regex path the spans triple is ``(None, None,
+    None)`` and the caller must recover strings itself.
     """
     if getattr(col, "null_count", 0):
         import pyarrow.compute as pc
@@ -138,6 +146,8 @@ def tokenize_hashes_col(col, seed: int = 0):
     if ascii_doc.all():
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
+        if return_spans:
+            return th_a, offsets, t_start, t_end, low
         return th_a, offsets
     # merge regex-tokenized non-ASCII docs back in doc order
     na_idx = np.flatnonzero(~ascii_doc)
@@ -157,6 +167,8 @@ def tokenize_hashes_col(col, seed: int = 0):
         r_tok_doc = np.repeat(na_idx, counts_r)
         within = np.arange(len(th_r)) - np.repeat(roff[:-1], counts_r)
         out[offsets[r_tok_doc] + within] = th_r
+    if return_spans:
+        return out, offsets, None, None, None
     return out, offsets
 
 

@@ -347,17 +347,11 @@ def synth_media_real(n: int, seed: int = 7) -> pa.Table:
 def decode_media(media_ds, concurrency: int = 4, batch_size: int = 64):
     """Route by media_type: BMPs through ImageDecoder, WAVs through
     WavDecoder (two filtered actor-pool branches over one source)."""
-    import pyarrow.compute as pc
-
-    imgs = media_ds.filter(
-        lambda r: r["media_type"] == "image/bmp"
-    ).map_batches(
+    imgs = media_ds.filter(expr="media_type == 'image/bmp'").map_batches(
         ImageDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, concurrency),
     )
-    wavs = media_ds.filter(
-        lambda r: r["media_type"] == "audio/wav"
-    ).map_batches(
+    wavs = media_ds.filter(expr="media_type == 'audio/wav'").map_batches(
         WavDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, concurrency),
     )

@@ -358,11 +358,11 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
     anchored groupby, merged per doc; spans travel as narrow (uhash,
     start, end) rows and urls are re-attached only to the final table.
 
-    ``n_docs_hint``: corpus size if known — above BROADCAST_URLMAP_LIMIT
-    the url re-attach uses a distributed join instead of a driver
-    broadcast (no extra counting pass either way). ``url_list``: if the
-    caller already holds the url universe, pass it to skip the url-map
-    collection pass entirely.
+    The url re-attach is a distributed hash join by DEFAULT (never a
+    driver pull of the url universe). ``url_list``: if the caller already
+    holds a bounded url universe, pass it to broadcast instead and skip
+    the join. ``n_docs_hint`` is accepted for compatibility but no longer
+    selects the path.
 
     NOTE: ``docs_ds`` is consumed by up to three sub-pipelines (local
     pass, anchor pass, url map); a LAZY input re-executes its upstream per
@@ -442,32 +442,33 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
         return pa.table({"uhash": pa.array(uh, type=pa.int64()), "url": batch.column("url")})
 
     if url_list is not None and len(url_list) <= BROADCAST_URLMAP_LIMIT:
+        # caller handed us an explicitly bounded url universe — broadcast it
         uh = xxh64_strings(list(url_list)).view(np.int64)
         order = np.argsort(uh, kind="stable")
         ref = ray.put((uh[order], np.asarray(list(url_list), dtype=object)[order]))
     else:
+        # DEFAULT path: distributed hash join of the (small) merged span
+        # table against the url map — never a driver pull of the url
+        # universe (round-2's to_pandas default was the scale-killer here)
         url_map_ds = docs.select_columns(["url"]).map_batches(
             url_pairs, batch_format="pyarrow"
         )
-        if n_docs_hint is not None and n_docs_hint > BROADCAST_URLMAP_LIMIT:
-            return merged.join(
-                url_map_ds, join_type="inner", num_partitions=join_partitions(cfg.num_partitions),
-                on=("uhash",), right_on=("uhash",),
-            ).select_columns(["url", "start", "end"])
-        pairs = url_map_ds.to_pandas()
-        uh = pairs["uhash"].to_numpy()
-        order = np.argsort(uh, kind="stable")
-        ref = ray.put((uh[order], pairs["url"].to_numpy()[order]))
+        return merged.join(
+            url_map_ds, join_type="inner", num_partitions=join_partitions(cfg.num_partitions),
+            on=("uhash",), right_on=("uhash",),
+        ).select_columns(["url", "start", "end"])
 
     def attach(batch: pa.Table) -> pa.Table:
         uh_s, urls_s = ray.get(ref)
         uh = batch.column("uhash").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(uh_s, uh)
+        # guarded probe (a miss must drop the span, not alias another url)
+        pos = np.minimum(np.searchsorted(uh_s, uh), max(len(uh_s) - 1, 0))
+        found = uh_s[pos] == uh if len(uh_s) else np.zeros(len(uh), dtype=bool)
         return pa.table(
             {
-                "url": pa.array(urls_s[pos], type=pa.string()),
-                "start": batch.column("start"),
-                "end": batch.column("end"),
+                "url": pa.array(urls_s[pos][found], type=pa.string()),
+                "start": batch.column("start").filter(pa.array(found)),
+                "end": batch.column("end").filter(pa.array(found)),
             }
         )
 

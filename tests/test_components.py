@@ -45,8 +45,8 @@ def _expected(pairs):
 
 
 CFG_STAR = DedupConfig(driver_uf_max_edges=0, num_partitions=8,
-                       minhash_concurrency=1, uf_shards=2)
-CFG_DRIVER = DedupConfig(num_partitions=8, minhash_concurrency=1, uf_shards=2)
+                       minhash_concurrency=1)
+CFG_DRIVER = DedupConfig(num_partitions=8, minhash_concurrency=1)
 
 
 def test_star_chain_multishard(ray_session):

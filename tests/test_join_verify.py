@@ -13,7 +13,7 @@ def test_join_verify_matches_broadcast(ray_session, small_corpus, monkeypatch):
     from sick_ray.config import DedupConfig
 
     web = os.path.join(small_corpus, "webtext.parquet")
-    cfg = DedupConfig(minhash_concurrency=2, uf_shards=2, num_partitions=8)
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=8)
     r_bcast = dd.run_dedup(rd.read_parquet(web), cfg)
     monkeypatch.setattr(dd, "BROADCAST_SIG_LIMIT", 0)   # force join path
     r_join = dd.run_dedup(rd.read_parquet(web), cfg)

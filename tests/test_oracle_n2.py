@@ -29,7 +29,7 @@ def test_full_pairwise_oracle(tiny):
     texts = [t or "" for t in web.column("text").to_pylist()]
     sets = shingle_hash_sets(texts, k=5)
 
-    cfg = DedupConfig(minhash_concurrency=2, uf_shards=2, num_partitions=8)
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=8)
     res = run_dedup(rd.read_parquet(os.path.join(tiny, "webtext.parquet")), cfg)
     df = res.clusters.to_pandas()
     cmap = dict(zip(df["url"], df["cluster_id"]))

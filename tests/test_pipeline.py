@@ -20,7 +20,7 @@ def result(ray_session, small_corpus):
     from sick_ray.pipelines.dedup import run_dedup
 
     ds = rd.read_parquet(os.path.join(small_corpus, "webtext.parquet"))
-    cfg = DedupConfig(minhash_concurrency=2, uf_shards=2)
+    cfg = DedupConfig(minhash_concurrency=2)
     return run_dedup(ds, cfg), small_corpus
 
 
@@ -130,7 +130,7 @@ def test_exact_only_mode(ray_session, small_corpus):
     from sick_ray.pipelines.dedup import run_dedup
 
     ds = rd.read_parquet(os.path.join(small_corpus, "webtext.parquet"))
-    cfg = DedupConfig(enable_near=False, minhash_concurrency=2, uf_shards=2,
+    cfg = DedupConfig(enable_near=False, minhash_concurrency=2,
                       num_partitions=8)
     res = run_dedup(ds, cfg)
     assert res.n_edges == 0
@@ -153,7 +153,7 @@ def test_run_full_matches_run_dedup(result):
     from sick_ray.pipelines.dedup import run_full
 
     res, d = result
-    cfg = DedupConfig(minhash_concurrency=2, uf_shards=2)
+    cfg = DedupConfig(minhash_concurrency=2)
     full = run_full(os.path.join(d, "webtext.parquet"), cfg)
     assert full.dedup.n_docs == res.n_docs
     assert full.dedup.n_canonical == res.n_canonical

@@ -12,7 +12,7 @@ def test_write_deduped_corpus(ray_session, small_corpus, tmp_path):
     from sick_ray.pipelines.dedup import run_dedup, write_deduped_corpus
 
     web_path = os.path.join(small_corpus, "webtext.parquet")
-    cfg = DedupConfig(minhash_concurrency=2, uf_shards=2, num_partitions=8)
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=8)
     res = run_dedup(rd.read_parquet(web_path), cfg)
     out = str(tmp_path / "deduped")
     n_kept, _ = write_deduped_corpus(web_path, res.clusters, out)

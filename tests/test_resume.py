@@ -24,7 +24,7 @@ def test_resume_from_manifests(ray_session, corpus_path, tmp_path_factory):
     from sick_ray.pipelines.dedup import run_dedup
 
     out = str(tmp_path_factory.mktemp("ckpt"))
-    cfg = DedupConfig(minhash_concurrency=2, uf_shards=2, num_partitions=8)
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=8)
     r1 = run_dedup(corpus_path, cfg, out_dir=out)
     m1 = _clusters_map(r1)
     assert all(not e["resumed"] for e in r1.runner_log)
@@ -53,10 +53,10 @@ def test_config_change_invalidates_checkpoint(ray_session, corpus_path, tmp_path
     from sick_ray.pipelines.dedup import run_dedup
 
     out = str(tmp_path_factory.mktemp("ckpt2"))
-    cfg1 = DedupConfig(minhash_concurrency=2, uf_shards=2, num_partitions=8)
+    cfg1 = DedupConfig(minhash_concurrency=2, num_partitions=8)
     run_dedup(corpus_path, cfg1, out_dir=out)
     cfg2 = DedupConfig(
-        minhash_concurrency=2, uf_shards=2, num_partitions=8, hot_bucket_threshold=32
+        minhash_concurrency=2, num_partitions=8, hot_bucket_threshold=32
     )
     r = run_dedup(corpus_path, cfg2, out_dir=out)
     assert all(not e["resumed"] for e in r.runner_log)
@@ -70,11 +70,11 @@ def test_determinism_across_partitioning(ray_session, corpus_path):
 
     a = run_dedup(
         corpus_path,
-        DedupConfig(minhash_concurrency=1, uf_shards=2, num_partitions=4),
+        DedupConfig(minhash_concurrency=1, num_partitions=4),
     )
     b = run_dedup(
         corpus_path,
-        DedupConfig(minhash_concurrency=3, uf_shards=5, num_partitions=23),
+        DedupConfig(minhash_concurrency=3, num_partitions=23),
     )
     assert _clusters_map(a) == _clusters_map(b)
     fa = a.fingerprints.to_pandas().sort_values("url").reset_index(drop=True)

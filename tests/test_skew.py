@@ -39,7 +39,7 @@ def _run(tbl, **cfg_kw):
     from sick_ray.config import DedupConfig
     from sick_ray.pipelines.dedup import run_dedup
 
-    cfg = DedupConfig(minhash_concurrency=2, uf_shards=2, num_partitions=8, **cfg_kw)
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=8, **cfg_kw)
     res = run_dedup(rd.from_arrow(tbl), cfg)
     df = res.clusters.to_pandas()
     return dict(zip(df["url"], df["cluster_id"])), res
