@@ -619,13 +619,26 @@ def q_doc_spans(sf_dir: str):
 
 
 def q_simhash_docs(sf_dir: str):
-    """SimHash signatures per doc (rows-only check: deterministic count)."""
+    """SimHash signatures per doc — oracled against a GOLDEN table computed
+    by an independent scalar second implementation (scripts/make_golden.py;
+    the reference's cross-implementation conformance discipline,
+    SickTests.cs:202-204). The golden rows are keyed by (doc_id,
+    md5(text)), so the same file serves every scale factor."""
     from sick_ray.functions.simhash import add_simhash
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(add_simhash, batch_format="pyarrow").select_columns(
         ["doc_id", "simhash"]
     )
+
+
+GOLDEN = "/root/repo/tests/golden/text_golden.parquet"
+
+SQL_SIMHASH_DOCS = f"""
+SELECT d.doc_id, g.simhash
+FROM documents d JOIN read_parquet('{GOLDEN}') g
+  ON g.doc_id = d.doc_id AND g.text_md5 = md5(coalesce(d.text, ''))
+"""
 
 
 def q_lang_id_docs(sf_dir: str):
@@ -1619,12 +1632,32 @@ FROM (
 
 
 def q_winnow_fp_docs(sf_dir: str):
+    """Winnowing fingerprints (8 smallest anchored window hashes per doc)
+    as scalar columns w0..w7, oracled against the independent scalar
+    golden table (scripts/make_golden.py)."""
     from sick_ray.functions.text import add_winnow_fingerprint
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(add_winnow_fingerprint, batch_format="pyarrow").select_columns(
-        ["doc_id", "winnow_fp"]
-    )
+    with_fp = docs.map_batches(add_winnow_fingerprint, batch_format="pyarrow")
+
+    def explode_fp(batch: pa.Table) -> pa.Table:
+        col = batch.column("winnow_fp")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        w = col.flatten().to_numpy(zero_copy_only=False).reshape(batch.num_rows, -1)
+        cols = {"doc_id": batch.column("doc_id")}
+        for i in range(w.shape[1]):
+            cols[f"w{i}"] = pa.array(w[:, i], type=pa.int64())
+        return pa.table(cols)
+
+    return with_fp.map_batches(explode_fp, batch_format="pyarrow")
+
+
+SQL_WINNOW_FP_DOCS = f"""
+SELECT d.doc_id, {', '.join(f'g.w{i}' for i in range(8))}
+FROM documents d JOIN read_parquet('{GOLDEN}') g
+  ON g.doc_id = d.doc_id AND g.text_md5 = md5(coalesce(d.text, ''))
+"""
 
 
 def q_events_asof_purchase(sf_dir: str):
@@ -1787,6 +1820,8 @@ ORACLES = {
     "ngram_allpairs_jaccard": SQL_NGRAM_ALLPAIRS_JACCARD,
     "ngram_exact_pairs": SQL_NGRAM_EXACT_PAIRS,
     "dedup_cluster_membership": SQL_DEDUP_CLUSTER_MEMBERSHIP,
+    "simhash_docs": SQL_SIMHASH_DOCS,
+    "winnow_fp_docs": SQL_WINNOW_FP_DOCS,
     "lang_id_docs": SQL_LANG_ID_DOCS,
     "top_terms": SQL_TOP_TERMS,
     "user_running_value": SQL_USER_RUNNING_VALUE,
