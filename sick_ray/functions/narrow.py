@@ -10,9 +10,11 @@ per-batch partials, tiny driver combine) picks the width once, and a
 schema-stable ``map_batches`` cast applies it everywhere — per-batch
 narrowing would fork the Dataset schema.
 
-Decimal: Arrow ``decimal128`` columns + exact per-batch sums combined with
-Python ``Decimal`` on the driver give byte-exact money totals (the
-BigDecimal path) with no float rounding anywhere.
+Decimal: :func:`decimal_sum` emits Arrow ``decimal128(38, s)`` totals from
+overflow-safe integer-unit accumulation (32-bit half-sums recombined with
+unbounded Python ints), and :func:`decimal_sum_exact` handles arbitrary-
+precision string/decimal inputs (100-digit fixtures) entirely in Python
+``Decimal`` — byte-exact money totals, no float rounding anywhere.
 """
 
 from __future__ import annotations
@@ -77,35 +79,100 @@ def apply_narrowing(ds, types: dict):
     return ds.map_batches(cast, batch_format="pyarrow")
 
 
-def decimal_sum(ds, col: str, group_col: str, precision: int = 18,
+def decimal_sum(ds, col: str, group_col: str, precision: int = 38,
                 scale: int = 2):
-    """Exact decimal group totals: values are quantized to ``scale`` as
-    decimal128 inside each batch, summed exactly per group (integer
-    arithmetic on the unscaled values), partials combined on the driver
-    with Python Decimal. Returns pa.Table (group_col, total:string) —
-    totals rendered as canonical decimal strings (no float ever touches
-    the sum, matching the reference's BigDecimal exactness)."""
+    """Exact decimal group totals → pa.Table (group_col,
+    total: decimal128(precision, scale)).
+
+    Values are quantized to ``scale`` as int64 units inside each batch,
+    then summed OVERFLOW-SAFELY: each unit is split into signed-high /
+    unsigned-low 32-bit halves, each half summed per group in int64 (a
+    batch would need 2^31 rows to overflow a half), and the driver
+    recombines the tiny partials with unbounded Python ints — so the
+    TOTAL is exact up to decimal128's 38 digits even when it exceeds
+    int64 units (round 2 capped at ≈9.2e16). No float ever touches the
+    accumulation (the reference's BigDecimal exactness,
+    EBACodecs.scala:367-400). Per-VALUE magnitude is still bounded by the
+    float64 input column (2^53 units); for arbitrary-precision inputs use
+    :func:`decimal_sum_exact`."""
     q = Decimal(1).scaleb(-scale)
     mult = 10 ** scale
 
     def partial(batch: pa.Table) -> pa.Table:
-        # exact path: quantize to scaled int64 ("cents"), sum per group
-        # vectorized — integer arithmetic, no float accumulation
         v = batch.column(col).to_numpy(zero_copy_only=False)
         units = np.rint(v * mult).astype(np.int64)
+        u_hi = units >> 32                       # signed high half
+        u_lo = units & 0xFFFFFFFF                # unsigned low half
         keys = batch.column(group_col)
         import pandas as pd
 
-        df = pd.DataFrame({group_col: keys.to_pandas(), "u": units})
-        g = df.groupby(group_col, as_index=False)["u"].sum()
+        df = pd.DataFrame(
+            {group_col: keys.to_pandas(), "hi": u_hi, "lo": u_lo}
+        )
+        g = df.groupby(group_col, as_index=False)[["hi", "lo"]].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = parts.groupby(group_col, as_index=False)["u"].sum().sort_values(group_col)
-    totals = [str((Decimal(int(u)) * q).quantize(q)) for u in out["u"]]
+    out = (
+        parts.groupby(group_col, as_index=False)[["hi", "lo"]]
+        .agg(lambda s: sum(int(x) for x in s))   # unbounded Python ints
+        .sort_values(group_col)
+    )
+    totals = [
+        (Decimal((int(hi) << 32) + int(lo)) * q).quantize(q)
+        for hi, lo in zip(out["hi"], out["lo"])
+    ]
     return pa.table(
         {
             group_col: pa.array(out[group_col].tolist()),
+            "total": pa.array(totals, type=pa.decimal128(precision, scale)),
+        }
+    )
+
+
+def decimal_sum_exact(ds, col: str, group_col: str, scale: int = 2):
+    """Arbitrary-precision decimal group totals for string- or
+    decimal-typed columns (the reference's 100-digit BigDecimal fixtures,
+    BigDecimalTests.cs:12-40): each batch parses its values with Python
+    ``Decimal`` (exact, bounded rows per task), emits per-group partial
+    sums as canonical strings, and the driver combines the tiny partials
+    with ``Decimal`` again. Returns (group_col, total:string) — totals
+    beyond decimal128's 38 digits can't be an Arrow decimal column."""
+
+    from decimal import localcontext
+
+    PREC = 1000  # arithmetic precision; default context is only 28 digits
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        keys = batch.column(group_col).to_pylist()
+        acc: dict = {}
+        with localcontext() as ctx:
+            ctx.prec = PREC
+            for k, v in zip(keys, vals):
+                if v is None:
+                    continue
+                acc[k] = acc.get(k, Decimal(0)) + Decimal(str(v))
+        ks = sorted(acc)
+        return pa.table(
+            {
+                group_col: pa.array(ks),
+                "t": pa.array([str(acc[k]) for k in ks], type=pa.string()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    q = Decimal(1).scaleb(-scale)
+    acc: dict = {}
+    with localcontext() as ctx:
+        ctx.prec = PREC
+        for k, t in zip(parts[group_col], parts["t"]):
+            acc[k] = acc.get(k, Decimal(0)) + Decimal(t)
+        ks = sorted(acc)
+        totals = [str(acc[k].quantize(q)) for k in ks]
+    return pa.table(
+        {
+            group_col: pa.array(ks),
             "total": pa.array(totals, type=pa.string()),
         }
     )

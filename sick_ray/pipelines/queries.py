@@ -1583,13 +1583,16 @@ SELECT * FROM (
 
 def q_lineitem_decimal_totals(sf_dir: str):
     """Exact decimal money totals (functions/narrow.py decimal_sum — the
-    reference's BigDecimal path, EBACodecs.scala:367-400): integer
-    scaled-unit arithmetic end to end, totals rendered as canonical
-    decimal strings. No float accumulation anywhere."""
+    reference's BigDecimal path, EBACodecs.scala:367-400): overflow-safe
+    integer-unit arithmetic end to end into a decimal128(38,2) column,
+    rendered as canonical strings for the oracle compare. No float
+    accumulation anywhere."""
     from sick_ray.functions.narrow import decimal_sum
 
     li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
-    return decimal_sum(li, "l_extendedprice", "l_returnflag")
+    out = decimal_sum(li, "l_extendedprice", "l_returnflag")
+    i = out.schema.get_field_index("total")
+    return out.set_column(i, "total", pc.cast(out.column("total"), pa.string()))
 
 
 SQL_LINEITEM_DECIMAL_TOTALS = """

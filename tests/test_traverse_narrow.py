@@ -78,5 +78,47 @@ def test_decimal_sum_exact(ray_session):
     keys = ["a"] * 10 + ["b"] * 5
     tbl = pa.table({"g": pa.array(keys), "v": pa.array(vals, type=pa.float64())})
     out = decimal_sum(rd.from_arrow(tbl).repartition(3), "v", "g")
-    got = dict(zip(out.column("g").to_pylist(), out.column("total").to_pylist()))
+    assert pa.types.is_decimal(out.schema.field("total").type)
+    got = {k: str(v) for k, v in
+           zip(out.column("g").to_pylist(), out.column("total").to_pylist())}
     assert got == {"a": "1.00", "b": "1.00"}  # exact, not 0.9999999999999999
+
+
+def test_decimal_sum_overflows_int64_units(ray_session):
+    """Totals beyond int64 scaled units (round-2 cap ≈9.2e16 currency
+    units) must stay exact — the 32-bit half-sum recombination path."""
+    import ray.data as rd
+
+    from sick_ray.functions.narrow import decimal_sum
+
+    # 2000 × 9e15.00 → total 1.8e19, units 1.8e21 ≫ 2^63
+    n = 2000
+    tbl = pa.table(
+        {"g": pa.array(["x"] * n), "v": pa.array([9e15] * n, type=pa.float64())}
+    )
+    out = decimal_sum(rd.from_arrow(tbl).repartition(7), "v", "g")
+    (total,) = out.column("total").to_pylist()
+    assert str(total) == "18000000000000000000.00"  # 2000 × 9e15, > 2^63 units
+
+
+def test_decimal_sum_exact_100_digit_values(ray_session):
+    """Arbitrary-precision string inputs (the reference's BigDecimal
+    fixtures, BigDecimalTests.cs:12-40 / samples/generated-big.json)."""
+    from decimal import Decimal
+
+    import ray.data as rd
+
+    from sick_ray.functions.narrow import decimal_sum_exact
+
+    big = "9" * 100 + ".25"            # 100-digit integer part
+    tiny = "0.01"
+    tbl = pa.table(
+        {
+            "g": pa.array(["a", "a", "b"]),
+            "v": pa.array([big, tiny, "-" + big], type=pa.string()),
+        }
+    )
+    out = decimal_sum_exact(rd.from_arrow(tbl).repartition(2), "v", "g")
+    got = dict(zip(out.column("g").to_pylist(), out.column("total").to_pylist()))
+    assert got["a"] == "9" * 100 + ".26"       # exact at 100 digits
+    assert got["b"] == "-" + big
