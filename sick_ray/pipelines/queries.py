@@ -1264,6 +1264,139 @@ SQL_NGRAM_EXACT_PAIRS = SQL_NGRAM_ALLPAIRS_JACCARD.replace(
 )
 
 
+def q_ngram_allpairs_capped(sf_dir: str, df_cap: int = 32):
+    """The 100-TB path of the n-gram inverted index: shingles shared by
+    more than ``df_cap`` docs (stopword/boilerplate shingles — each emits
+    C(g,2) pairs, the quadratic blowup the oracle-checked exact query
+    documents and defers) are DROPPED before pair emission, with the
+    shortfall COUNTED, never silent: skipped_shingles / skipped_pairs
+    counter rows ride the pair stream (kind=2) and land in a _MANIFEST.json
+    beside the query. Changing semantics keeps this out of the oracle set
+    by design (the exact twin stays untouched and green); intersection
+    counts are a lower bound, so emitted pairs ⊆ the exact query's pairs."""
+    import json as _json
+    import os as _os
+
+    from sick_ray.shuffle import segment_pairs
+    from sick_ray.stages.minhash import shingle_hashes, tokenize_hashes_col
+
+    k = QCFG.shingle_k
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        th, toff = tokenize_hashes_col(batch.column("text"), seed=QCFG.seed)
+        sh, soff = shingle_hashes(th, toff, k)
+        n = batch.num_rows
+        counts = soff[1:] - soff[:-1]
+        doc_of = np.repeat(np.arange(n), counts)
+        order = np.lexsort((sh, doc_of))
+        sh_s, doc_s = sh[order], doc_of[order]
+        keep = np.ones(len(sh_s), dtype=bool)
+        if len(sh_s) > 1:
+            keep[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        sh_u, doc_u = sh_s[keep], doc_s[keep]
+        sizes = np.zeros(n, dtype=np.int64)
+        np.add.at(sizes, doc_u, 1)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s": pa.array(sh_u.view(np.int64)),
+            "d": pa.array(did[doc_u]),
+            "sz": pa.array(sizes[doc_u]),
+        })
+
+    ex = docs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_capped(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64()),
+            "size_u": pa.array([], type=pa.int64()),
+            "size_v": pa.array([], type=pa.int64()),
+            "cnt": pa.array([], type=pa.int64()),
+            "kind": pa.array([], type=pa.int8()),
+        })
+        if part.num_rows == 0:
+            return empty
+        s = part.column("s").to_numpy(zero_copy_only=False)
+        d = part.column("d").to_numpy(zero_copy_only=False)
+        sz = part.column("sz").to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        s, d, sz = s[order], d[order], sz[order]
+        # df cap: whole shingle groups above df_cap are dropped, counted
+        fm = first_mask(s)
+        starts = np.flatnonzero(fm)
+        gsz = np.diff(np.append(starts, len(s)))
+        big = gsz > df_cap
+        skipped_shingles = int(big.sum())
+        skipped_pairs = int((gsz[big] * (gsz[big] - 1) // 2).sum())
+        keep_row = ~np.repeat(big, gsz)
+        s, d, sz = s[keep_row], d[keep_row], sz[keep_row]
+        i, j, _, _ = segment_pairs(s, cap=1 << 60)
+        u, v, su, sv = d[i], d[j], sz[i], sz[j]
+        swap = u > v
+        out = {
+            "u": np.where(swap, v, u), "v": np.where(swap, u, v),
+            "size_u": np.where(swap, sv, su), "size_v": np.where(swap, su, sv),
+            "cnt": np.ones(len(u), dtype=np.int64),
+            "kind": np.zeros(len(u), dtype=np.int8),
+        }
+        if skipped_shingles:
+            out = {c: np.append(out[c], x) for c, x in zip(
+                out, [skipped_shingles, skipped_pairs, 0, 0, 0, 2])}
+        return pa.table({c: pa.array(out[c].astype(np.int64) if c != "kind"
+                                     else out[c].astype(np.int8))
+                         for c in out})
+
+    raw = grouped_apply(
+        ex, ["s"], pairs_capped, num_partitions=QCFG.num_partitions
+    ).materialize()
+    cnt = raw.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 2)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    counters = {
+        "df_cap": df_cap,
+        "skipped_shingles": int(cnt["u"].sum()) if len(cnt) else 0,
+        "skipped_pairs": int(cnt["v"].sum()) if len(cnt) else 0,
+    }
+    mdir = "/tmp/sick_ray_out/ngram_capped"
+    _os.makedirs(mdir, exist_ok=True)
+    with open(f"{mdir}/_MANIFEST.json", "w") as f:
+        _json.dump(counters, f)
+
+    pair_rows = raw.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)).drop_columns(["kind"]),
+        batch_format="pyarrow",
+    )
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ["u", "v", "inter", "size_u", "size_v"]})
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        su = tbl.column("size_u").to_numpy(zero_copy_only=False)
+        sv = tbl.column("size_v").to_numpy(zero_copy_only=False)
+        cn = tbl.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v, su, sv, cn = u[order], v[order], su[order], sv[order], cn[order]
+        fm = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            fm[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        starts = np.flatnonzero(fm)
+        inter = np.add.reduceat(cn, starts)
+        u, v, su, sv = u[starts], v[starts], su[starts], sv[starts]
+        keep = 3 * inter >= su + sv
+        return pa.table({
+            "u": pa.array(u[keep]), "v": pa.array(v[keep]),
+            "inter": pa.array(inter[keep]),
+            "size_u": pa.array(su[keep]), "size_v": pa.array(sv[keep]),
+        })
+
+    return grouped_apply(
+        pair_rows, ["u", "v"], combine, num_partitions=QCFG.num_partitions
+    )
+
+
 def q_top_terms(sf_dir: str):
     """Corpus-wide term frequency top-20: vectorized per-batch token
     counting (tokenize_hashes byte path) feeding a hash-partitioned count
@@ -1781,6 +1914,7 @@ QUERIES = {
     "embedding_first_last": q_embedding_first_last,
     "ngram_exact_pairs": q_ngram_exact_pairs,
     "ngram_allpairs_jaccard": q_ngram_allpairs_jaccard,
+    "ngram_allpairs_capped": q_ngram_allpairs_capped,
     "embedding_near_dup": q_embedding_near_dup,
     "winnow_fp_docs": q_winnow_fp_docs,
     "cosine_pairs_exact": q_cosine_pairs_exact,

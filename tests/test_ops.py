@@ -242,3 +242,25 @@ def test_media_decode_real(ray_session):
     assert (ok_w["duration_s"] > 0).all()
     # corrupt rows surfaced, not dropped or fatal
     assert (idf["decode_err"].notna().sum() + wdf["decode_err"].notna().sum()) >= 1
+
+
+def test_ngram_capped_df_counts_skips(ray_session):
+    """The df-capped inverted index (the 100-TB path) must DROP hot
+    shingle groups with a counted shortfall and emit a subset of the
+    exact query's pairs — never silently."""
+    import json
+
+    from sick_ray.pipelines.queries import (
+        q_ngram_allpairs_capped, q_ngram_allpairs_jaccard)
+
+    sf = "/root/testdata/sf0.001"
+    full = q_ngram_allpairs_jaccard(sf).to_pandas()
+    capped = q_ngram_allpairs_capped(sf, df_cap=1).to_pandas()
+    counters = json.load(open("/tmp/sick_ray_out/ngram_capped/_MANIFEST.json"))
+    assert counters["skipped_shingles"] > 0
+    assert counters["skipped_pairs"] > 0
+    # capped pairs ⊆ exact pairs (intersections only shrink under the cap)
+    if len(capped):
+        mrg = capped.merge(full, on=["u", "v"], how="left", indicator=True)
+        assert (mrg["_merge"] == "both").all()
+    assert len(capped) <= len(full)
