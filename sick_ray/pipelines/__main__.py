@@ -52,6 +52,28 @@ def main(argv=None) -> int:
         minhash_concurrency=max(2, ncpu // 2),
         num_partitions=args.partitions,
     )
+
+    # live per-stage progress (CacheSaturation analogue): a daemon thread
+    # polls the named counter actor and prints a line to stderr WHILE
+    # stages run — the stdout JSON summary stays machine-readable
+    import threading
+
+    from sick_ray.state import progress
+
+    progress.ensure_actor()
+    stop_poll = threading.Event()
+
+    def _poll():
+        last = ""
+        while not stop_poll.wait(2.0):
+            rows, totals = progress.snapshot()
+            if rows:
+                line = progress.format_line(rows, totals)
+                if line != last:
+                    print(line, file=sys.stderr, flush=True)
+                    last = line
+
+    threading.Thread(target=_poll, daemon=True).start()
     t0 = time.time()
     if args.spans:
         # near-dup and substring-spans branches overlap after the exact
@@ -79,6 +101,10 @@ def main(argv=None) -> int:
         commit_manifest(spans_dir, "spans", "cli")
         summary["n_spans"] = full.n_spans
         summary["branch_timings"] = full.timings
+    stop_poll.set()
+    rows, totals = progress.snapshot()
+    if rows:
+        print(progress.format_line(rows, totals), file=sys.stderr, flush=True)
     print(json.dumps(summary))
     ray.shutdown()
     return 0

@@ -41,6 +41,7 @@ from sick_ray.stages.lsh import (
 )
 from sick_ray.stages.minhash import make_minhash_fn
 from sick_ray.state.manifest import StageRunner, input_signature, stage_fingerprint
+from sick_ray.state import progress
 
 # above this many canonical docs the verify stage switches from a broadcast
 # signature lookup to a two-sided hash join. The lookup is assembled by a
@@ -108,6 +109,14 @@ def _prepare(input_ds, cfg, out_dir):
         input_sig = f"<dataset:{id(input_ds)}>"
     runner = StageRunner(out_dir)
     cfg_fp = stage_fingerprint(dataclasses.asdict(cfg), input_sig)
+    # live progress counters (CacheSaturation analogue) — advisory only
+    try:
+        import ray
+
+        if ray.is_initialized():
+            progress.ensure_actor()
+    except Exception:
+        pass
     return input_ds, cfg, runner, cfg_fp
 
 
@@ -116,7 +125,9 @@ def _exact_phase(input_ds, cfg, runner, cfg_fp, out_dir):
     Returns (meta, fingerprints, canonical, n_docs, n_canonical)."""
 
     def compute_meta():
-        ds = input_ds.map_batches(extract_batch, batch_format="pyarrow")
+        ds = input_ds.map_batches(
+            progress.counted("extract", extract_batch), batch_format="pyarrow"
+        )
         ds = ds.map_batches(add_fingerprints, batch_format="pyarrow")
         if not cfg.enable_near:     # exact-only mode (sick's dedup flags)
             return ds.map_batches(
@@ -131,7 +142,8 @@ def _exact_phase(input_ds, cfg, runner, cfg_fp, out_dir):
         # and task parallelism scales with the CPU count instead of a
         # fixed pool size
         return ds.map_batches(
-            make_minhash_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+            progress.counted("minhash", make_minhash_fn(cfg)),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
         )
 
     meta = runner.run("meta", cfg_fp, compute_meta)
@@ -140,6 +152,10 @@ def _exact_phase(input_ds, cfg, runner, cfg_fp, out_dir):
 
     fingerprints = meta.select_columns(["url", "fp64", "n_bytes"])
     n_docs = meta.count()
+    # saturation denominators for the later stages (CacheSaturation ratio)
+    progress.set_total("attach", n_docs)
+    progress.set_total("minhash", n_docs)
+    progress.set_total("extract", n_docs)
 
     canonical = runner.run("canonical", cfg_fp, lambda: exact_dedup(meta, cfg))
     if out_dir is None:
@@ -231,7 +247,9 @@ def _near_phase(meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir):
                 }
             )
 
-        assigned = narrow.map_batches(attach, batch_format="pyarrow")
+        assigned = narrow.map_batches(
+            progress.counted("attach", attach), batch_format="pyarrow"
+        )
     else:
         joined = narrow.join(
             labels,
@@ -256,7 +274,9 @@ def _near_phase(meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir):
                 }
             )
 
-        assigned = joined.map_batches(finish, batch_format="pyarrow")
+        assigned = joined.map_batches(
+            progress.counted("attach", finish), batch_format="pyarrow"
+        )
 
     def compute_clusters():
         flagged = grouped_apply(
