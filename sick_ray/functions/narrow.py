@@ -103,14 +103,22 @@ def decimal_sum(ds, col: str, group_col: str, precision: int = 38,
         units = np.rint(v * mult).astype(np.int64)
         u_hi = units >> 32                       # signed high half
         u_lo = units & 0xFFFFFFFF                # unsigned low half
-        keys = batch.column(group_col)
-        import pandas as pd
-
-        df = pd.DataFrame(
-            {group_col: keys.to_pandas(), "hi": u_hi, "lo": u_lo}
+        t = pa.table(
+            {
+                group_col: batch.column(group_col),
+                "hi": pa.array(u_hi, type=pa.int64()),
+                "lo": pa.array(u_lo, type=pa.int64()),
+            }
         )
-        g = df.groupby(group_col, as_index=False)[["hi", "lo"]].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow's native hash aggregation — no pandas frame per batch
+        g = t.group_by(group_col).aggregate([("hi", "sum"), ("lo", "sum")])
+        return pa.table(
+            {
+                group_col: g.column(group_col),
+                "hi": g.column("hi_sum"),
+                "lo": g.column("lo_sum"),
+            }
+        )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = (

@@ -151,13 +151,25 @@ def semi_select(input_ds, keys_ds, on: str, num_partitions: int,
             num_partitions=join_partitions(num_partitions),
             on=(on,),
         )
-    keys = pa.concat_tables(
-        list(keys_ds.iter_batches(batch_size=262144, batch_format="pyarrow"))
-    ).column(on).combine_chunks()
-    ref = ray.put(keys)
+
+    # assemble the key set IN the cluster from the dataset's own block refs
+    # (plasma broadcast, zero driver traffic — the labels-attach pattern
+    # from dedup.py; round 2 streamed the keys through the driver instead)
+    def assemble_keys(*blocks):
+        good = [b for b in blocks if b.num_rows and on in b.column_names]
+        if not good:
+            return None
+        return pa.concat_tables(
+            [b.select([on]) for b in good]
+        ).column(on).combine_chunks()
+
+    ref = ray.remote(num_cpus=1)(assemble_keys).remote(*keys_ds.to_arrow_refs())
 
     def flt(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column(on), value_set=ray.get(ref)))
+        vs = ray.get(ref)
+        if vs is None:
+            return batch.slice(0, 0)
+        return batch.filter(pc.is_in(batch.column(on), value_set=vs))
 
     return input_ds.map_batches(flt, batch_format="pyarrow")
 
