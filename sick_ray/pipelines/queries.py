@@ -1263,6 +1263,25 @@ SQL_NGRAM_EXACT_PAIRS = SQL_NGRAM_ALLPAIRS_JACCARD.replace(
     "SELECT p.u, p.v",
 )
 
+# the capped variant's semantics are deterministic and SQL-expressible:
+# shingles whose GLOBAL document frequency exceeds df_cap are excluded
+# from pair emission (grouped_apply co-locates every row of a shingle, so
+# the engine's per-group size IS the global df), while per-doc set sizes
+# stay pre-cap (explode computes sz before any capping) — so the oracle
+# is the exact query with one extra HAVING-filtered shingle CTE joined
+# into pair emission. df_cap here must match q_ngram_allpairs_capped's
+# default (32), which is what the driver invokes.
+SQL_NGRAM_ALLPAIRS_CAPPED = SQL_NGRAM_ALLPAIRS_JACCARD.replace(
+    """), sizes AS (""",
+    """), kept AS (
+  SELECT s FROM ex GROUP BY s HAVING count(*) <= 32
+), sizes AS (""",
+).replace(
+    "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id",
+    "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id\n"
+    "  JOIN kept k ON k.s = a.s",
+)
+
 
 def q_ngram_allpairs_capped(sf_dir: str, df_cap: int = 32):
     """The 100-TB path of the n-gram inverted index: shingles shared by
@@ -1271,9 +1290,11 @@ def q_ngram_allpairs_capped(sf_dir: str, df_cap: int = 32):
     documents and defers) are DROPPED before pair emission, with the
     shortfall COUNTED, never silent: skipped_shingles / skipped_pairs
     counter rows ride the pair stream (kind=2) and land in a _MANIFEST.json
-    beside the query. Changing semantics keeps this out of the oracle set
-    by design (the exact twin stays untouched and green); intersection
-    counts are a lower bound, so emitted pairs ⊆ the exact query's pairs."""
+    beside the query. The cap is deterministic (grouped_apply co-locates a
+    shingle's every row, so per-group size = global df) and SQL-expressible,
+    so this query is oracle-checked too (SQL_NGRAM_ALLPAIRS_CAPPED: the
+    exact twin plus a HAVING df<=cap shingle filter); intersection counts
+    are a lower bound, so emitted pairs ⊆ the exact query's pairs."""
     import json as _json
     import os as _os
 
@@ -1956,6 +1977,7 @@ ORACLES = {
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "ngram_allpairs_jaccard": SQL_NGRAM_ALLPAIRS_JACCARD,
     "ngram_exact_pairs": SQL_NGRAM_EXACT_PAIRS,
+    "ngram_allpairs_capped": SQL_NGRAM_ALLPAIRS_CAPPED,
     "dedup_cluster_membership": SQL_DEDUP_CLUSTER_MEMBERSHIP,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "winnow_fp_docs": SQL_WINNOW_FP_DOCS,

@@ -345,8 +345,8 @@ def _merge_url_spans_partition(part: pa.Table) -> pa.Table:
 # overhead. ~2 MB of text per call keeps per-task allocations ~30 MB.
 SA_BATCH_DOCS = 1024
 
-# above this many docs the uhash→url re-attach switches from a driver
-# broadcast map to a distributed hash join
+# above this many docs the uhash→url re-attach switches from a
+# plasma-assembled broadcast lookup to a distributed hash join
 BROADCAST_URLMAP_LIMIT = 2_000_000
 
 
@@ -358,11 +358,12 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
     anchored groupby, merged per doc; spans travel as narrow (uhash,
     start, end) rows and urls are re-attached only to the final table.
 
-    The url re-attach is a distributed hash join by DEFAULT (never a
-    driver pull of the url universe). ``url_list``: if the caller already
-    holds a bounded url universe, pass it to broadcast instead and skip
-    the join. ``n_docs_hint`` is accepted for compatibility but no longer
-    selects the path.
+    The url re-attach NEVER pulls the url universe to the driver: at
+    broadcastable sizes (≤ BROADCAST_URLMAP_LIMIT urls, sized by
+    ``n_docs_hint`` or a Dataset count) a Ray task assembles a sorted
+    uhash→url lookup from the url map's own block refs (plasma
+    broadcast); above the limit it is a distributed hash join.
+    ``url_list``: a caller-supplied bounded url universe skips both.
 
     NOTE: ``docs_ds`` is consumed by up to three sub-pipelines (local
     pass, anchor pass, url map); a LAZY input re-executes its upstream per
@@ -447,16 +448,53 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
         order = np.argsort(uh, kind="stable")
         ref = ray.put((uh[order], np.asarray(list(url_list), dtype=object)[order]))
     else:
-        # DEFAULT path: distributed hash join of the (small) merged span
-        # table against the url map — never a driver pull of the url
-        # universe (round-2's to_pandas default was the scale-killer here)
-        url_map_ds = docs.select_columns(["url"]).map_batches(
-            url_pairs, batch_format="pyarrow"
-        )
-        return merged.join(
-            url_map_ds, join_type="inner", num_partitions=join_partitions(cfg.num_partitions),
-            on=("uhash",), right_on=("uhash",),
-        ).select_columns(["url", "start", "end"])
+        # size the url universe WITHOUT a driver pull: the caller's hint,
+        # else a Dataset count (metadata-cheap on the materialized inputs
+        # every hot caller passes; executes the upstream once when lazy)
+        n_urls = n_docs_hint
+        if n_urls is None:
+            try:
+                n_urls = docs.count()
+            except Exception:
+                n_urls = None
+        if n_urls is not None and n_urls <= BROADCAST_URLMAP_LIMIT:
+            # DEFAULT at broadcastable sizes: a Ray TASK assembles the
+            # sorted (uhash → url) lookup from the url-map dataset's own
+            # block refs and every attach task reads it from plasma — zero
+            # driver traffic (round-2's to_pandas default pulled the url
+            # universe to the driver; round-3's join default was ~2×
+            # slower than the whole spans compute in this Ray version)
+            url_map_ds = docs.select_columns(["url"]).map_batches(
+                url_pairs, batch_format="pyarrow"
+            ).materialize()
+
+            def assemble_urls(*blocks):
+                blocks = [
+                    b for b in blocks if b.num_rows and "uhash" in b.column_names
+                ]
+                if not blocks:
+                    return (np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=object))
+                tbl = pa.concat_tables([b.select(["uhash", "url"]) for b in blocks])
+                uh = tbl.column("uhash").to_numpy(zero_copy_only=False)
+                urls = tbl.column("url").to_numpy(zero_copy_only=False)
+                order = np.argsort(uh, kind="stable")
+                return np.ascontiguousarray(uh[order]), urls[order]
+
+            ref = ray.remote(num_cpus=1)(assemble_urls).remote(
+                *url_map_ds.to_arrow_refs()
+            )
+        else:
+            # 100-TB path: distributed hash join of the (small) merged
+            # span table against the url map
+            url_map_ds = docs.select_columns(["url"]).map_batches(
+                url_pairs, batch_format="pyarrow"
+            )
+            return merged.join(
+                url_map_ds, join_type="inner",
+                num_partitions=join_partitions(cfg.num_partitions),
+                on=("uhash",), right_on=("uhash",),
+            ).select_columns(["url", "start", "end"])
 
     def attach(batch: pa.Table) -> pa.Table:
         uh_s, urls_s = ray.get(ref)

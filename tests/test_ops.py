@@ -2,6 +2,7 @@
 plumbing, text functions, winnowing fingerprints."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -264,3 +265,27 @@ def test_ngram_capped_df_counts_skips(ray_session):
         mrg = capped.merge(full, on=["u", "v"], how="left", indicator=True)
         assert (mrg["_merge"] == "both").all()
     assert len(capped) <= len(full)
+
+    # oracle parity at a cap that BITES with non-empty output (df_cap=1
+    # provably emits nothing: kept shingles live in exactly one doc). The
+    # driver's df_cap=32 oracle runs at sf0.01 where the cap is a no-op,
+    # so check the capped SQL semantics here where it isn't.
+    import duckdb
+
+    from sick_ray.pipelines.queries import SQL_NGRAM_ALLPAIRS_CAPPED
+
+    capped2 = q_ngram_allpairs_capped(sf, df_cap=2).to_pandas()
+    assert len(capped2) > 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    sql2 = SQL_NGRAM_ALLPAIRS_CAPPED.replace("count(*) <= 32", "count(*) <= 2")
+    ora = con.execute(sql2).df()
+    cols = ["u", "v", "inter", "size_u", "size_v"]
+    eng_s = capped2[cols].sort_values(["u", "v"]).reset_index(drop=True)
+    ora_s = ora[cols].sort_values(["u", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        eng_s.astype("int64"), ora_s.astype("int64")
+    )
