@@ -1,0 +1,164 @@
+"""Media golden-table generator: an INDEPENDENT scalar second
+implementation of the engine's real media decoders, materialized as the
+parquet table the ``media_decode_real`` DuckDB oracle reads.
+
+Same conformance discipline as make_golden.py (the reference's
+cross-implementation tests, json-sick-csharp SickTests.cs:202-204): the
+engine decodes BMP/WAV with vectorized numpy kernels
+(sick_ray/stages/multimodal.py); this script re-decodes the SAME
+deterministic payload fixture (synth_media_real(200, seed=7) — the input
+generator is the shared FIXTURE, the decoders are the checked code) with
+deliberately different scalar code:
+
+- BMP: struct-unpacked header, per-row byte slices, a pure-Python
+  integer block-sum thumbnail (the engine's integral image is
+  integer-exact by design, so floor-divided block sums agree exactly)
+- WAV: a hand-rolled RIFF chunk walk (the engine uses stdlib ``wave``),
+  samples via array('h'); the fixture is mono-only by construction
+- stats from exact integer sums → one float division/sqrt each, matching
+  the engine's deterministic formulas bit-for-bit
+
+Corrupt payloads must FAIL on both sides (failed=True, stat NULL); the
+error message is implementation detail and not compared.
+
+Run: python scripts/make_media_golden.py
+  (rewrites tests/golden/media_golden.parquet)
+"""
+
+from __future__ import annotations
+
+import struct
+from array import array
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from sick_ray.stages.multimodal import synth_media_real  # shared FIXTURE
+
+OUT = "/root/repo/tests/golden/media_golden.parquet"
+THUMB = 8
+
+
+def decode_bmp_scalar(payload: bytes):
+    """(h, w, pixel rows as nested python lists of (r, g, b))."""
+    if len(payload) < 54 or payload[0:2] != b"BM":
+        raise ValueError("bad bmp")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("unsupported bmp")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < off + stride * h:
+        raise ValueError("truncated bmp")
+    rows = []
+    for r in range(h):
+        base = off + r * stride
+        row = []
+        for c in range(w):
+            b_, g, rr = payload[base + 3 * c: base + 3 * c + 3]  # BGR
+            row.append((rr, g, b_))
+        rows.append(row)
+    if not top_down:
+        rows.reverse()
+    return h, w, rows
+
+
+def thumb_stats_scalar(h: int, w: int, rows) -> tuple[float, float]:
+    """Pure-Python integer thumbnail → (mean, std), each one float op."""
+    gray = [[299 * r + 587 * g + 114 * b for (r, g, b) in row] for row in rows]
+    ys = [(i * h) // THUMB for i in range(THUMB + 1)]
+    xs = [(i * w) // THUMB for i in range(THUMB + 1)]
+    cells = []
+    for i in range(THUMB):
+        for j in range(THUMB):
+            s = 0
+            for y in range(ys[i], ys[i + 1]):
+                for x in range(xs[j], xs[j + 1]):
+                    s += gray[y][x]
+            area = max((ys[i + 1] - ys[i]) * (xs[j + 1] - xs[j]), 1)
+            cells.append(s // (area * 1000))
+    k = len(cells)
+    tot = sum(cells)
+    sq = sum(c * c for c in cells)
+    mean = tot / k
+    std = float(np.sqrt(sq / k - (tot / k) ** 2))
+    return mean, std
+
+
+def decode_wav_scalar(payload: bytes):
+    """Hand-rolled RIFF walk → (rate, int16 sample list). Mono only (the
+    fixture is mono by construction; the engine additionally downmixes)."""
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("bad riff")
+    pos = 12
+    rate, width, channels, data = None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            channels = struct.unpack_from("<H", body, 2)[0]
+            rate = struct.unpack_from("<I", body, 4)[0]
+            width = struct.unpack_from("<H", body, 14)[0] // 8
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None or width != 2 or channels != 1:
+        raise ValueError("unsupported wav")
+    samples = array("h")
+    samples.frombytes(data[: len(data) - (len(data) % 2)])
+    import sys
+
+    if sys.byteorder == "big":  # array('h') is native-endian
+        samples.byteswap()
+    return rate, list(samples)
+
+
+def main() -> None:
+    media = synth_media_real(200, seed=7)
+    ids = media.column("media_id").to_pylist()
+    payloads = media.column("payload").to_pylist()
+    kinds = media.column("media_type").to_pylist()
+    out = {"media_id": [], "stat": [], "kind": [], "failed": []}
+    n_fail = 0
+    for mid, p, mt in zip(ids, payloads, kinds):
+        kind = "image" if mt == "image/bmp" else "audio"
+        stat, failed = None, False
+        try:
+            if kind == "image":
+                h, w, rows = decode_bmp_scalar(p)
+                mean, _std = thumb_stats_scalar(h, w, rows)
+                stat = float(np.round(mean, 4))
+            else:
+                _rate, samples = decode_wav_scalar(p)
+                if samples:
+                    ss = sum(s * s for s in samples)
+                    stat = float(np.round(float(np.sqrt(ss / len(samples))), 4))
+        except (ValueError, struct.error):
+            failed, n_fail = True, n_fail + 1
+        out["media_id"].append(int(mid))
+        out["stat"].append(stat)
+        out["kind"].append(kind)
+        out["failed"].append(failed)
+    table = pa.table(
+        {
+            "media_id": pa.array(out["media_id"], type=pa.int64()),
+            "stat": pa.array(out["stat"], type=pa.float64()),
+            "kind": pa.array(out["kind"], type=pa.string()),
+            "failed": pa.array(out["failed"], type=pa.bool_()),
+        }
+    )
+    pq.write_table(table, OUT, compression="zstd")
+    print(f"wrote {table.num_rows} rows ({n_fail} failed) -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -904,9 +904,14 @@ def q_media_decode(sf_dir: str):
 def q_media_decode_real(sf_dir: str):
     """REAL multimodal decode (stages/multimodal.py): BMP pixels and PCM
     WAV samples parsed from payload bytes by dependency-free codecs, with
-    per-row error isolation for corrupt payloads. Rows-only (binary decode
-    is not SQL-expressible); codec correctness is pinned by exact
-    roundtrip tests (tests/test_ops.py)."""
+    per-row error isolation for corrupt payloads. Oracled against a GOLDEN
+    table decoded by an INDEPENDENT scalar implementation
+    (scripts/make_media_golden.py: struct-parsed BMP/RIFF, pure-Python
+    integer block sums) — possible because every kernel is integer-exact
+    by design (_thumbnail milli-weight floor division, int64
+    sum-of-squares stats). Failures surface as a ``failed`` bool: the
+    MESSAGE is implementation detail, the per-row isolation is the
+    contract."""
     import ray.data as rd
 
     from sick_ray.stages.multimodal import decode_media, synth_media_real
@@ -919,7 +924,16 @@ def q_media_decode_real(sf_dir: str):
     w = w.rename(columns={"rms": "stat"})
     out = pd.concat([i.assign(kind="image"), w.assign(kind="audio")],
                     ignore_index=True).sort_values("media_id")
+    out["failed"] = out["decode_err"].notna()
+    out = out.drop(columns=["decode_err"])
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+MEDIA_GOLDEN = "/root/repo/tests/golden/media_golden.parquet"
+
+SQL_MEDIA_DECODE_REAL = f"""
+SELECT media_id, stat, kind, failed FROM read_parquet('{MEDIA_GOLDEN}')
+"""
 
 
 def q_lineitem_stats(sf_dir: str):
@@ -1994,6 +2008,7 @@ ORACLES = {
     "events_range_count": SQL_EVENTS_RANGE_COUNT,
     "quality_docs": SQL_QUALITY_DOCS,
     "price_quantiles": SQL_PRICE_QUANTILES,
+    "media_decode_real": SQL_MEDIA_DECODE_REAL,
     # dedup_clusters_docs / doc_spans / simhash_docs / lang_id_docs /
     # quality_docs / knn_lsh_embeddings / media_decode: not SQL-expressible
     # (stateful hashing / heuristic scoring / LSH) → rows-only checks.

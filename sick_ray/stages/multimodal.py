@@ -215,19 +215,29 @@ def decode_wav(payload: bytes):
 
 
 def _thumbnail(rgb: np.ndarray, t: int = 8) -> np.ndarray:
-    """Box-downsample (h, w, 3) → (t, t) uint8 grayscale (vectorized)."""
+    """Box-downsample (h, w, 3) → (t, t) uint8 grayscale (vectorized).
+
+    INTEGER-EXACT by design: grayscale uses milli-weights (299/587/114)
+    in int64 and each cell is an integer block-sum floor-divided by
+    area·1000, so any independent implementation — including the scalar
+    golden-table generator (scripts/make_media_golden.py) — reproduces
+    the thumbnail byte-for-byte. A float integral image would differ in
+    ulps by summation order and break conformance at cast boundaries."""
     h, w, _ = rgb.shape
-    gray = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b_ = rgb[..., 2].astype(np.int64)
+    gray = 299 * r + 587 * g + 114 * b_
     ys = (np.arange(t + 1) * h) // t
     xs = (np.arange(t + 1) * w) // t
-    integ = np.zeros((h + 1, w + 1))
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
     np.cumsum(np.cumsum(gray, axis=0), axis=1, out=integ[1:, 1:])
     a = integ[ys[:-1][:, None], xs[:-1][None, :]]
     b = integ[ys[1:][:, None], xs[1:][None, :]]
     c = integ[ys[:-1][:, None], xs[1:][None, :]]
     d = integ[ys[1:][:, None], xs[:-1][None, :]]
     area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
-    return np.clip((a + b - c - d) / np.maximum(area, 1), 0, 255).astype(np.uint8)
+    return ((a + b - c - d) // (np.maximum(area, 1) * 1000)).astype(np.uint8)
 
 
 class ImageDecoder:
@@ -255,8 +265,15 @@ class ImageDecoder:
                 height[i], width[i] = rgb.shape[0], rgb.shape[1]
                 th = _thumbnail(rgb, self.THUMB)
                 thumbs[i] = th.reshape(-1)
-                mean[i] = th.mean()
-                std[i] = th.std()
+                # exact-integer sums → one float op each: deterministic
+                # across implementations (a float pairwise reduction is
+                # summation-order-dependent), so the golden table matches
+                # bit-for-bit
+                s = int(th.sum(dtype=np.int64))
+                sq = int((th.astype(np.int64) ** 2).sum())
+                k = th.size
+                mean[i] = s / k
+                std[i] = float(np.sqrt(sq / k - (s / k) ** 2))
             except (ValueError, IndexError) as ex:
                 errs[i] = str(ex)
         out = batch.drop_columns(["payload"])
@@ -293,7 +310,10 @@ class WavDecoder:
                 rate[i] = r
                 nsamp[i] = len(samples)
                 if len(samples):
-                    rms[i] = float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+                    # exact int64 sum-of-squares → one division + sqrt:
+                    # bit-identical to the scalar golden implementation
+                    ss = int((samples.astype(np.int64) ** 2).sum())
+                    rms[i] = float(np.sqrt(ss / len(samples)))
             except Exception as ex:  # wave raises bare Error/EOFError
                 errs[i] = str(ex) or type(ex).__name__
         out = batch.drop_columns(["payload"])
