@@ -21,6 +21,7 @@ str, arr, obj.
 from __future__ import annotations
 
 import json
+from decimal import Decimal
 
 import numpy as np
 import pyarrow as pa
@@ -28,7 +29,7 @@ import pyarrow as pa
 from sick_ray.shuffle import first_mask, grouped_apply, sort_index
 from sick_ray.xxh import xxh64
 
-_KINDS = ("null", "bool", "int", "float", "str", "arr", "obj")
+_KINDS = ("null", "bool", "int", "float", "str", "arr", "obj", "dec")
 
 
 def _h(payload: bytes) -> int:
@@ -54,6 +55,13 @@ def subtree_rows(doc, path: str = "$"):
         elif isinstance(v, float):
             h = _h(b"\x03" + repr(v).encode())
             out.append((p, "float", h, depth))
+        elif isinstance(v, Decimal):
+            # exact-decimal mode (avoid_big_decimals=False): identity is
+            # the (unscaled, scale) pair like the reference's BigDecimal
+            # codec (EBACodecs.scala:367-400) — "1.0" and "1" DIFFER; the
+            # JSON source text fixes the scale, so str(v) is canonical
+            h = _h(b"\x07" + str(v).encode())
+            out.append((p, "dec", h, depth))
         elif isinstance(v, str):
             h = _h(b"\x04" + v.encode("utf-8"))
             out.append((p, "str", h, depth))
@@ -79,10 +87,18 @@ def subtree_rows(doc, path: str = "$"):
     return out
 
 
-def make_traverser(col: str, id_col: str):
+def make_traverser(col: str, id_col: str, avoid_big_decimals: bool = True):
     """map_batches fn: JSON string column → one row per subtree
     (id, path, kind, vhash, depth). Parse-bound like the reference's
-    decoder; everything downstream is columnar."""
+    decoder; everything downstream is columnar.
+
+    ``avoid_big_decimals`` is the reference's traversal flag
+    (CirceTraverser.scala:121-152): True (default) parses JSON decimals
+    as float64 — the lossy fast path, where ``0.1000`` and ``0.1``
+    intern to the SAME subtree; False parses them as exact ``Decimal``
+    with (unscaled, scale) identity — 100-digit values stay distinct and
+    scale is significant, at Python-Decimal parse cost."""
+    parse_float = None if avoid_big_decimals else Decimal
 
     def traverse(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -92,7 +108,7 @@ def make_traverser(col: str, id_col: str):
             if s is None:
                 continue
             try:
-                v = json.loads(s)
+                v = json.loads(s, parse_float=parse_float)
             except (json.JSONDecodeError, TypeError):
                 continue
             for p, k, h, d in subtree_rows(v):
@@ -114,12 +130,16 @@ def make_traverser(col: str, id_col: str):
     return traverse
 
 
-def subtree_stats(ds, col: str, id_col: str, num_partitions: int = 32):
+def subtree_stats(ds, col: str, id_col: str, num_partitions: int = 32,
+                  avoid_big_decimals: bool = True):
     """Corpus-wide structural-sharing stats per kind: total subtree
     occurrences vs distinct subtrees — the measured effect of sick's
     hash-consing (``EBAStructure.summary`` analogue). Returns a Dataset
     (kind, n_total, n_distinct)."""
-    rows = ds.map_batches(make_traverser(col, id_col), batch_format="pyarrow")
+    rows = ds.map_batches(
+        make_traverser(col, id_col, avoid_big_decimals=avoid_big_decimals),
+        batch_format="pyarrow",
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         # pre-aggregate within batch: (kind, vhash) → count

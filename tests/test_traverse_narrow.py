@@ -122,3 +122,32 @@ def test_decimal_sum_exact_100_digit_values(ray_session):
     got = dict(zip(out.column("g").to_pylist(), out.column("total").to_pylist()))
     assert got["a"] == "9" * 100 + ".26"       # exact at 100 digits
     assert got["b"] == "-" + big
+
+
+def test_avoid_big_decimals_toggle():
+    """The reference's avoidBigDecimals traversal flag
+    (CirceTraverser.scala:121-152): lossy mode interns float-equal
+    decimals together; exact mode keeps (unscaled, scale) identity —
+    trailing zeros and 100-digit precision are significant."""
+    from sick_ray.functions.traverse import subtree_rows
+    import json as _json
+    from decimal import Decimal
+
+    def vhash(doc_text, avoid):
+        v = _json.loads(doc_text, parse_float=None if avoid else Decimal)
+        return subtree_rows(v)[-1][2]  # root subtree hash
+
+    # lossy fast path: 0.1000 == 0.1 as float64 → SAME subtree
+    assert vhash('{"x": 0.1000}', True) == vhash('{"x": 0.1}', True)
+    # exact mode: scale is part of BigDecimal identity → DIFFERENT
+    assert vhash('{"x": 0.1000}', False) != vhash('{"x": 0.1}', False)
+    # two 40-digit decimals that collide as float64 stay distinct exactly
+    a = '{"x": 1.0000000000000000000000000000000000000001}'
+    b = '{"x": 1.0000000000000000000000000000000000000002}'
+    assert vhash(a, True) == vhash(b, True)      # both round to 1.0
+    assert vhash(a, False) != vhash(b, False)    # exact precision kept
+    # kind tag: exact decimals are their own kind, like the reference's
+    # BigDecimal codec — never conflated with float
+    v = _json.loads('{"x": 0.5}', parse_float=Decimal)
+    kinds = {k for (_p, k, _h, _d) in subtree_rows(v)}
+    assert "dec" in kinds and "float" not in kinds
