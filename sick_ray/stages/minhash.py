@@ -342,36 +342,29 @@ class MinHasher:
 # The cache lives on the `sys` module: sick_ray is registered for
 # cloudpickle by-value serialization (see __ray_entry__), so this module's
 # own globals may be re-materialized per deserialized closure — sys is
-# imported by reference and is stable per process.
-
-def _proc_cache() -> dict:
-    import sys as _sys
-
-    cache = getattr(_sys, "_sick_ray_proc_cache", None)
-    if cache is None:
-        cache = {}
-        _sys._sick_ray_proc_cache = cache
-    return cache
+# imported by reference and is stable per process. The mechanism (and its
+# pluggable eviction policy, the ISickCacheManager analogue) lives in
+# sick_ray/state/cache.py.
 
 
-def make_minhash_fn(cfg: DedupConfig):
+def make_minhash_fn(cfg: DedupConfig, cache_policy=None):
     """Task-based map_batches fn with per-worker-process cached state —
-    the default minhash execution path (see _proc_cache note)."""
+    the default minhash execution path (see _proc_cache note). Eviction
+    and counters are governed by a pluggable ``state.cache.CachePolicy``
+    (the ISickCacheManager analogue)."""
 
     # key by FIELD VALUES, not the cfg object: by-value cloudpickle
     # re-creates the DedupConfig class per closure, and dataclass __eq__
     # requires identical classes — an object key would never hit
     import dataclasses as _dc
 
+    from sick_ray.state.cache import DEFAULT_POLICY, get_or_build
+
+    policy = cache_policy or DEFAULT_POLICY
     key = ("minhash",) + tuple(sorted(_dc.asdict(cfg).items()))
 
     def minhash_batch(batch: pa.Table) -> pa.Table:
-        cache = _proc_cache()
-        mh = cache.get(key)
-        if mh is None:
-            mh = MinHasher(cfg)
-            cache[key] = mh
-        return mh(batch)
+        return get_or_build(key, lambda: MinHasher(cfg), policy)(batch)
 
     return minhash_batch
 
