@@ -192,12 +192,18 @@ def measure_memory_bandwidth_ceiling() -> dict:
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            env=env, capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            # surface the child's tail — a swallowed stderr makes a failed
+            # hour-long scaling run undiagnosable
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"bench child at {ncpu} cpus exited "
+                               f"{proc.returncode}")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     runs = {n: one(n) for n in (4, 8, 16, 32)}
     eff_8_32 = (runs[8]["value"] / runs[32]["value"]) / 4
