@@ -1,0 +1,240 @@
+"""Training-data curation kernels: repetition-based quality filtering
+(Gopher-style), deterministic hash sampling, PII redaction, and n-gram
+benchmark decontamination.
+
+All are vectorized ``map_batches`` callables over Arrow batches — token
+work rides the same zero-copy byte-path tokenizer the dedup stages use
+(``tokenize_hashes_col``), n-gram statistics are one lexsort + run-length
+pass per batch, and redaction is RE2 via ``pyarrow.compute`` (the same
+regex engine DuckDB uses, so the oracles are byte-exact).
+
+Repetition thresholds follow the published Gopher quality rules (Rae et
+al. 2021, "Scaling Language Models", table A1): drop documents whose most
+frequent token or whose duplicated n-grams cover too much of the text.
+The exact metric definitions here are chosen to be SQL-expressible so the
+DuckDB oracle can recompute them from the token lists.
+
+Scale notes (100 TB): every kernel is per-document and stateless — no
+shuffle anywhere. Decontamination broadcasts the (small) benchmark
+shingle-hash set once via ``ray.put`` and probes it per batch with
+``searchsorted``; the corpus side never leaves its blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sick_ray.shuffle import first_mask
+from sick_ray.stages.minhash import tokenize_hashes_col
+
+# 64-bit multiplicative mix for rolling n-gram hashes over token hashes
+# (odd constant from splitmix64's increment; any odd 64-bit works)
+_NGRAM_K = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _doc_index(offsets: np.ndarray) -> np.ndarray:
+    """Doc index per flat token from the [n+1] token-offset array."""
+    return np.repeat(
+        np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets)
+    )
+
+
+def ngram_hashes(th: np.ndarray, offsets: np.ndarray, k: int):
+    """Rolling k-gram hashes over each doc's token-hash run.
+
+    Returns ``(g, gdoc)``: one uint64 hash per in-doc k-gram position and
+    its doc index. Docs with fewer than k tokens emit nothing. One
+    vectorized polynomial pass — no per-doc Python.
+    """
+    n_tok = len(th)
+    if n_tok < k:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    tdoc = _doc_index(offsets)
+    m = n_tok - k + 1
+    g = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        g = g * _NGRAM_K + th[j : j + m]
+    valid = tdoc[: m] == tdoc[k - 1 :]          # k-gram stays inside one doc
+    return g[valid], tdoc[:m][valid]
+
+
+def _per_doc_run_stats(keys: np.ndarray, doc: np.ndarray, n_docs: int):
+    """(count, distinct, max-multiplicity) of ``keys`` grouped per doc.
+
+    One lexsort by (doc, key) then run-length math; scatters into dense
+    [n_docs] arrays so empty docs read as zeros.
+    """
+    total = np.zeros(n_docs, dtype=np.int64)
+    distinct = np.zeros(n_docs, dtype=np.int64)
+    top = np.zeros(n_docs, dtype=np.int64)
+    if not len(keys):
+        return total, distinct, top
+    order = np.lexsort((keys, doc))
+    ks, ds = keys[order], doc[order]
+    run_fm = first_mask(ds) | first_mask(ks)
+    run_starts = np.flatnonzero(run_fm)
+    run_len = np.diff(np.append(run_starts, len(ks)))
+    run_doc = ds[run_starts]
+    doc_fm = first_mask(run_doc)
+    doc_starts = np.flatnonzero(doc_fm)
+    docs_present = run_doc[doc_starts]
+    total[docs_present] = np.add.reduceat(run_len, doc_starts)
+    distinct[docs_present] = np.diff(
+        np.append(doc_starts, len(run_doc))
+    )
+    top[docs_present] = np.maximum.reduceat(run_len, doc_starts)
+    return total, distinct, top
+
+
+def add_repetition_stats(
+    batch: pa.Table,
+    ngram_k: int = 5,
+    top_token_max_ppm: int = 200_000,
+    dup_ngram_max_ppm: int = 300_000,
+) -> pa.Table:
+    """Gopher-style repetition metrics per document.
+
+    Emits ``n_tokens``, ``top_token_n`` (multiplicity of the most frequent
+    token), ``n_5grams``/``n_distinct_5grams``, the two fractions as EXACT
+    parts-per-million integers (``floor(x * 1e6 / max(denom, 1))`` in
+    float64 — the identical IEEE expression the SQL oracle computes, so no
+    round-half-even vs half-away drift), and ``gopher_keep`` — 1 when the
+    doc passes both repetition caps (top-word 20%, dup-n-gram 30% —
+    the Gopher table A1 values).
+    """
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    th, offs = tokenize_hashes_col(col)
+    h = th.view(np.int64)
+    tdoc = _doc_index(offs)
+    n_tokens, _, top_n = _per_doc_run_stats(h, tdoc, n)
+    g, gdoc = ngram_hashes(th, offs, ngram_k)
+    n_g, n_gd, _ = _per_doc_run_stats(g.view(np.int64), gdoc, n)
+
+    tok_div = np.maximum(n_tokens, 1).astype(np.float64)
+    g_div = np.maximum(n_g, 1).astype(np.float64)
+    top_ppm = np.floor(top_n * 1e6 / tok_div).astype(np.int64)
+    dup_ppm = np.floor((n_g - n_gd) * 1e6 / g_div).astype(np.int64)
+    keep = (top_ppm <= top_token_max_ppm) & (dup_ppm <= dup_ngram_max_ppm)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "top_token_n": pa.array(top_n, type=pa.int64()),
+            "n_5grams": pa.array(n_g, type=pa.int64()),
+            "n_distinct_5grams": pa.array(n_gd, type=pa.int64()),
+            "top_token_ppm": pa.array(top_ppm, type=pa.int64()),
+            "dup_5gram_ppm": pa.array(dup_ppm, type=pa.int64()),
+            "gopher_keep": pa.array(keep.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------------- sampling
+
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(1) << np.uint64(32)
+
+
+def hash_sample_mask(ids: np.ndarray, buckets: int, residue: int) -> np.ndarray:
+    """Deterministic multiplicative-hash sample: keep rows whose
+    ``(id * 2654435761) mod 2^32 mod buckets == residue``. Knuth's
+    multiplicative scheme — SQL-expressible with BIGINT arithmetic, so
+    the same sample is reproducible by any engine. Stateless per row;
+    at 100 TB this is a pure map with no coordination."""
+    v = ids.astype(np.uint64) * _KNUTH % _MOD32
+    return (v % np.uint64(buckets)) == np.uint64(residue)
+
+
+# ------------------------------------------------------------- PII redact
+
+# RE2-safe patterns (no backrefs/lookaround) — identical semantics in
+# pyarrow.compute (RE2) and DuckDB regexp_* (RE2)
+EMAIL_RE = r"[0-9A-Za-z._%+\-]+@[0-9A-Za-z.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Count and mask email addresses and phone-like numbers.
+
+    Emails are replaced first (their local part can contain digits that
+    would otherwise half-match the phone pattern), then phones — the
+    oracle applies the same order.
+    """
+    text = batch.column(text_col)
+    n_emails = pc.count_substring_regex(text, EMAIL_RE).cast(pa.int64())
+    red = pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>")
+    n_phones = pc.count_substring_regex(red, PHONE_RE).cast(pa.int64())
+    red = pc.replace_substring_regex(red, PHONE_RE, "<PHONE>")
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_emails", n_emails)
+    out = out.append_column("n_phones", n_phones)
+    out = out.append_column("redacted", red)
+    return out
+
+
+# -------------------------------------------------------- decontamination
+
+def shingle_hash_table(
+    ds, k: int = 8, id_filter_mod: int | None = None, id_filter_res: int = 0
+):
+    """Distinct k-gram shingle hashes of (a subset of) a documents
+    Dataset, as a Dataset of uint64-as-int64 rows. Used to build the
+    benchmark side of decontamination."""
+    def emit(batch: pa.Table) -> pa.Table:
+        b = batch
+        if id_filter_mod is not None:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(ids % id_filter_mod == id_filter_res))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        th, offs = tokenize_hashes_col(col)
+        g, _ = ngram_hashes(th, offs, k)
+        return pa.table({"g": pa.array(np.unique(g.view(np.int64)),
+                                       type=pa.int64())})
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def make_contamination_prober(bench_ref, k: int = 8):
+    """Per-batch prober: flags docs sharing any k-token shingle with the
+    broadcast benchmark set. ``bench_ref`` is a ``ray.put`` ObjectRef of
+    the sorted int64 hash array — ``ray.get`` inside the task reads it
+    zero-copy from plasma (the repo's standard small-side broadcast)."""
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray
+
+        bench_sorted = ray.get(bench_ref)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        th, offs = tokenize_hashes_col(col)
+        g, gdoc = ngram_hashes(th, offs, k)
+        hit = np.zeros(len(col), dtype=bool)
+        if len(g):
+            gs = g.view(np.int64)
+            pos = np.clip(
+                np.searchsorted(bench_sorted, gs), 0,
+                max(len(bench_sorted) - 1, 0),
+            )
+            ok = (
+                bench_sorted[pos] == gs
+                if len(bench_sorted)
+                else np.zeros(len(gs), dtype=bool)
+            )
+            np.logical_or.at(hit, gdoc[ok], True)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "contaminated": pa.array(hit.astype(np.int64),
+                                         type=pa.int64()),
+            }
+        )
+
+    return probe

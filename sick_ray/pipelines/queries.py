@@ -1917,6 +1917,253 @@ GROUP BY a.event_id
 """
 
 
+# ------------------------------------------------- training-data curation
+
+def q_gopher_repetition(sf_dir: str):
+    """Gopher-style repetition quality filter (Rae et al. 2021): per doc,
+    top-token multiplicity and duplicate-5-gram fraction as exact ppm
+    integers + a keep flag. Pure per-document map — zero shuffle; the
+    token work reuses the dedup stages' zero-copy byte tokenizer."""
+    from sick_ray.functions.curate import add_repetition_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(add_repetition_stats, batch_format="pyarrow")
+
+
+SQL_GOPHER_REPETITION = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(l) AS tok FROM t),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+tstats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(max(c) AS BIGINT) AS top_token_n
+  FROM cnt GROUP BY doc_id
+),
+ge AS (
+  SELECT doc_id,
+         unnest([array_to_string(l[i:i+4], ' ')
+                 for i in generate_series(1, greatest(len(l) - 4, 0))]) AS g
+  FROM t
+),
+gstats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_5grams,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_5grams
+  FROM ge GROUP BY doc_id
+),
+j AS (
+  SELECT d.doc_id,
+         coalesce(tstats.n_tokens, 0) AS n_tokens,
+         coalesce(tstats.top_token_n, 0) AS top_token_n,
+         coalesce(gstats.n_5grams, 0) AS n_5grams,
+         coalesce(gstats.n_distinct_5grams, 0) AS n_distinct_5grams
+  FROM documents d
+  LEFT JOIN tstats USING (doc_id) LEFT JOIN gstats USING (doc_id)
+)
+SELECT doc_id, n_tokens, top_token_n, n_5grams, n_distinct_5grams,
+       CAST(floor(top_token_n * 1000000.0 / greatest(n_tokens, 1))
+            AS BIGINT) AS top_token_ppm,
+       CAST(floor((n_5grams - n_distinct_5grams) * 1000000.0
+                  / greatest(n_5grams, 1)) AS BIGINT) AS dup_5gram_ppm,
+       CAST(CASE WHEN floor(top_token_n * 1000000.0 / greatest(n_tokens, 1))
+                      <= 200000
+                  AND floor((n_5grams - n_distinct_5grams) * 1000000.0
+                            / greatest(n_5grams, 1)) <= 300000
+             THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
+FROM j
+"""
+
+
+def q_pii_redact_docs(sf_dir: str):
+    """PII redaction (email + phone masking) with match counts. The synth
+    corpus contains no PII, so both sides deterministically augment the
+    text from doc_id before redacting — the kernel is exercised with
+    nonzero matches while staying self-contained. RE2 on both sides
+    (pyarrow.compute and DuckDB), identical replace order."""
+    from sick_ray.functions.curate import redact_pii
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        ids_s = pc.cast(ids, pa.string())
+        tail = pc.utf8_lpad(
+            pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 10000), 10000)),
+                    pa.string()),
+            4, "0",
+        )
+        aug = pc.binary_join_element_wise(
+            batch.column("text"), " contact user", ids_s,
+            "@example.com or call 555-", tail, " now", "",
+        )
+        return pa.table({"doc_id": ids, "aug": aug})
+
+    return docs.map_batches(augment, batch_format="pyarrow").map_batches(
+        lambda b: redact_pii(b, text_col="aug"), batch_format="pyarrow"
+    )
+
+
+_EMAIL_SQL = r"[0-9A-Za-z._%+\-]+@[0-9A-Za-z.\-]+\.[A-Za-z]{2,}"
+_PHONE_SQL = r"\b[0-9]{3}-[0-9]{4}\b"
+SQL_PII_REDACT_DOCS = f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+         AS aug
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_EMAIL_SQL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(
+              regexp_replace(aug, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+              '{_PHONE_SQL}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(aug, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+                      '{_PHONE_SQL}', '<PHONE>', 'g') AS redacted
+FROM a
+"""
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic 10% hash sample (Knuth multiplicative on doc_id).
+    Stateless per-row predicate — the 100-TB sampling path: any engine
+    reproduces the same sample from the same ids, and resharding or
+    re-running never changes membership."""
+    from sick_ray.functions.curate import hash_sample_mask
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "source", "n_chars"])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(hash_sample_mask(ids, 10, 3)))
+
+    return docs.map_batches(flt, batch_format="pyarrow")
+
+
+SQL_SAMPLE_DOCS = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 10 = 3
+"""
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: flag any corpus doc sharing an 8-token
+    shingle with the benchmark set (here: docs with doc_id % 50 == 0 stand
+    in for a held-out eval set). The benchmark side is distinct-shingle
+    hashed and broadcast once via ray.put (benchmarks are MB-scale by
+    nature); the corpus side probes per batch with searchsorted — no
+    shuffle, no corpus materialization."""
+    import ray
+
+    from sick_ray.functions.curate import (
+        make_contamination_prober,
+        shingle_hash_table,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = shingle_hash_table(docs, k=8, id_filter_mod=50, id_filter_res=0)
+    bench_np = np.unique(
+        np.concatenate(
+            [b.column("g").to_numpy(zero_copy_only=False)
+             for b in bench.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    )
+    bench_ref = ray.put(bench_np)
+    probe = make_contamination_prober(bench_ref, k=8)
+
+    def non_bench(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 50 != 0))
+
+    return docs.map_batches(non_bench, batch_format="pyarrow").map_batches(
+        probe, batch_format="pyarrow"
+    )
+
+
+SQL_DECONTAMINATE_DOCS = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+  FROM documents
+),
+b AS (
+  SELECT DISTINCT
+         unnest([array_to_string(l[i:i+7], ' ')
+                 for i in generate_series(1, greatest(len(l) - 7, 0))]) AS g
+  FROM t WHERE doc_id % 50 = 0
+),
+ce AS (
+  SELECT doc_id,
+         unnest([array_to_string(l[i:i+7], ' ')
+                 for i in generate_series(1, greatest(len(l) - 7, 0))]) AS g
+  FROM t WHERE doc_id % 50 <> 0
+),
+hit AS (SELECT DISTINCT ce.doc_id FROM ce JOIN b USING (g))
+SELECT d.doc_id,
+       CAST(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+WHERE d.doc_id % 50 <> 0
+"""
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column, long format (label,
+    dim, c). Vector aggregate as per-batch float64 partial sums (label
+    cardinality is small) + tiny driver combine — the building block for
+    IVF training / cluster-balance audits, no shuffle."""
+    # import OUTSIDE the batch closure: workers can't import sick_ray (the
+    # entry module registers it for by-value pickling; a function-local
+    # import would re-resolve by name at call time on the worker)
+    from sick_ray.stages.ann import _emb_matrix
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch.column("embedding")).astype(np.float64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        labs = np.unique(labels)
+        d = m.shape[1]
+        rows_lab, rows_dim, rows_s, rows_n = [], [], [], []
+        for lb in labs:
+            mask = labels == lb
+            s = m[mask].sum(axis=0)
+            rows_lab.append(np.full(d, lb, dtype=np.int64))
+            rows_dim.append(np.arange(d, dtype=np.int64))
+            rows_s.append(s)
+            rows_n.append(np.full(d, int(mask.sum()), dtype=np.int64))
+        return pa.table(
+            {
+                "label": np.concatenate(rows_lab),
+                "dim": np.concatenate(rows_dim),
+                "s": np.concatenate(rows_s),
+                "n": np.concatenate(rows_n),
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["label", "dim"], as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum")
+    )
+    g["c"] = np.round(g["s"] / g["n"], 4)
+    g["label"] = g["label"].astype("int64")
+    out = g[["label", "dim", "c"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS c
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY label, i
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dup_group_stats": q_dup_group_stats,
@@ -1963,6 +2210,11 @@ QUERIES = {
     "events_asof_purchase": q_events_asof_purchase,
     "events_range_count": q_events_range_count,
     "price_quantiles": q_price_quantiles,
+    "gopher_repetition": q_gopher_repetition,
+    "pii_redact_docs": q_pii_redact_docs,
+    "sample_docs": q_sample_docs,
+    "decontaminate_docs": q_decontaminate_docs,
+    "embedding_centroids": q_embedding_centroids,
 }
 
 ORACLES = {
@@ -2009,6 +2261,11 @@ ORACLES = {
     "quality_docs": SQL_QUALITY_DOCS,
     "price_quantiles": SQL_PRICE_QUANTILES,
     "media_decode_real": SQL_MEDIA_DECODE_REAL,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
+    "pii_redact_docs": SQL_PII_REDACT_DOCS,
+    "sample_docs": SQL_SAMPLE_DOCS,
+    "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     # dedup_clusters_docs / doc_spans / simhash_docs / lang_id_docs /
     # quality_docs / knn_lsh_embeddings / media_decode: not SQL-expressible
     # (stateful hashing / heuristic scoring / LSH) → rows-only checks.
