@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from sick_ray.xxh import xxh64
+from sick_ray.xxh import xxh64, xxh64_strings
 
 IMAGE_SCHEMA = pa.schema(
     [
@@ -91,8 +91,6 @@ class FrameSampler:
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from sick_ray.xxh import xxh64_strings
-
         n = batch.num_rows
         ids = batch.column("media_id").to_numpy(zero_copy_only=False)
         base = xxh64_strings(batch.column("payload"))      # one batch pass
