@@ -201,6 +201,20 @@ def shingle_hash_table(
     return ds.map_batches(emit, batch_format="pyarrow")
 
 
+def assemble_shingle_set(*blocks) -> np.ndarray:
+    """Ray-task body: concat + unique-sort the ``g`` columns of a shingle
+    Dataset's blocks into the broadcast probe array. Runs in-cluster on
+    the blocks' own refs — the driver never touches the hash set."""
+    arrs = [
+        b.column("g").to_numpy(zero_copy_only=False)
+        for b in blocks
+        if b.num_rows and "g" in b.column_names
+    ]
+    if not arrs:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(arrs))
+
+
 def make_contamination_prober(bench_ref, k: int = 8):
     """Per-batch prober: flags docs sharing any k-token shingle with the
     broadcast benchmark set. ``bench_ref`` is a ``ray.put`` ObjectRef of

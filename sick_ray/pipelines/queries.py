@@ -2065,16 +2065,18 @@ def q_decontaminate_docs(sf_dir: str):
         shingle_hash_table,
     )
 
+    from sick_ray.functions.curate import assemble_shingle_set
+
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    bench = shingle_hash_table(docs, k=8, id_filter_mod=50, id_filter_res=0)
-    bench_np = np.unique(
-        np.concatenate(
-            [b.column("g").to_numpy(zero_copy_only=False)
-             for b in bench.iter_batches(batch_format="pyarrow")]
-            or [np.empty(0, dtype=np.int64)]
-        )
+    bench = shingle_hash_table(
+        docs, k=8, id_filter_mod=50, id_filter_res=0
+    ).materialize()
+    # assemble the benchmark hash set in-cluster from the Dataset's own
+    # block refs (zero driver traffic — the labels-attach pattern); the
+    # task's return ref IS the broadcast handle
+    bench_ref = ray.remote(num_cpus=1)(assemble_shingle_set).remote(
+        *bench.to_arrow_refs()
     )
-    bench_ref = ray.put(bench_np)
     probe = make_contamination_prober(bench_ref, k=8)
 
     def non_bench(batch: pa.Table) -> pa.Table:
@@ -2127,22 +2129,18 @@ def q_embedding_centroids(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         m = _emb_matrix(batch.column("embedding")).astype(np.float64)
         labels = batch.column("label").to_numpy(zero_copy_only=False)
-        labs = np.unique(labels)
+        labs, inv, counts = np.unique(
+            labels, return_inverse=True, return_counts=True
+        )
         d = m.shape[1]
-        rows_lab, rows_dim, rows_s, rows_n = [], [], [], []
-        for lb in labs:
-            mask = labels == lb
-            s = m[mask].sum(axis=0)
-            rows_lab.append(np.full(d, lb, dtype=np.int64))
-            rows_dim.append(np.arange(d, dtype=np.int64))
-            rows_s.append(s)
-            rows_n.append(np.full(d, int(mask.sum()), dtype=np.int64))
+        sums = np.zeros((len(labs), d), dtype=np.float64)
+        np.add.at(sums, inv, m)                    # one scatter, no label loop
         return pa.table(
             {
-                "label": np.concatenate(rows_lab),
-                "dim": np.concatenate(rows_dim),
-                "s": np.concatenate(rows_s),
-                "n": np.concatenate(rows_n),
+                "label": np.repeat(labs.astype(np.int64), d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), len(labs)),
+                "s": sums.reshape(-1),
+                "n": np.repeat(counts.astype(np.int64), d),
             }
         )
 
