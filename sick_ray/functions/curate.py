@@ -15,9 +15,9 @@ The exact metric definitions here are chosen to be SQL-expressible so the
 DuckDB oracle can recompute them from the token lists.
 
 Scale notes (100 TB): every kernel is per-document and stateless — no
-shuffle anywhere. Decontamination broadcasts the (small) benchmark
-shingle-hash set once via ``ray.put`` and probes it per batch with
-``searchsorted``; the corpus side never leaves its blocks.
+shuffle anywhere. Decontamination assembles the (small) benchmark
+shingle-hash set in-cluster into one broadcast array and probes it per
+batch with ``searchsorted``; the corpus side never leaves its blocks.
 """
 
 from __future__ import annotations
@@ -217,9 +217,11 @@ def assemble_shingle_set(*blocks) -> np.ndarray:
 
 def make_contamination_prober(bench_ref, k: int = 8):
     """Per-batch prober: flags docs sharing any k-token shingle with the
-    broadcast benchmark set. ``bench_ref`` is a ``ray.put`` ObjectRef of
-    the sorted int64 hash array — ``ray.get`` inside the task reads it
-    zero-copy from plasma (the repo's standard small-side broadcast)."""
+    broadcast benchmark set. ``bench_ref`` is an ObjectRef of the sorted
+    int64 hash array — typically the return ref of an in-cluster
+    :func:`assemble_shingle_set` task (zero driver traffic), though any
+    ref (e.g. ``ray.put`` in tests) works; ``ray.get`` inside the task
+    reads it zero-copy from plasma."""
 
     def probe(batch: pa.Table) -> pa.Table:
         import ray

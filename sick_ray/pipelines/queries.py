@@ -2055,17 +2055,17 @@ def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: flag any corpus doc sharing an 8-token
     shingle with the benchmark set (here: docs with doc_id % 50 == 0 stand
     in for a held-out eval set). The benchmark side is distinct-shingle
-    hashed and broadcast once via ray.put (benchmarks are MB-scale by
-    nature); the corpus side probes per batch with searchsorted — no
-    shuffle, no corpus materialization."""
+    hashed and assembled in-cluster into one broadcast array (benchmarks
+    are MB-scale by nature); the corpus side probes per batch with
+    searchsorted — no shuffle, no corpus materialization, no driver
+    traffic."""
     import ray
 
     from sick_ray.functions.curate import (
+        assemble_shingle_set,
         make_contamination_prober,
         shingle_hash_table,
     )
-
-    from sick_ray.functions.curate import assemble_shingle_set
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     bench = shingle_hash_table(
@@ -2129,12 +2129,15 @@ def q_embedding_centroids(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         m = _emb_matrix(batch.column("embedding")).astype(np.float64)
         labels = batch.column("label").to_numpy(zero_copy_only=False)
-        labs, inv, counts = np.unique(
-            labels, return_inverse=True, return_counts=True
-        )
+        labs, counts = np.unique(labels, return_counts=True)
         d = m.shape[1]
-        sums = np.zeros((len(labs), d), dtype=np.float64)
-        np.add.at(sums, inv, m)                    # one scatter, no label loop
+        # buffered segmented sum (repo idiom): sort rows by label, then
+        # one reduceat per label run — unlike np.add.at this stays
+        # vectorized-fast at any batch size / label cardinality
+        order = np.argsort(labels, kind="stable")
+        starts = np.zeros(len(labs), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        sums = np.add.reduceat(m[order], starts, axis=0)
         return pa.table(
             {
                 "label": np.repeat(labs.astype(np.int64), d),
