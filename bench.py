@@ -130,6 +130,7 @@ def run_bench() -> dict:
     for name in (
         "pricing_summary", "segment_revenue", "events_hourly", "token_count_docs",
         "exact_dedup_docs", "knn_embeddings", "simhash_docs",
+        "gopher_repetition", "decontaminate_docs",
     ):
         t = time.time()
         out = QUERIES[name](SF_DIR)
