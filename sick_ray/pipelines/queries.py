@@ -1094,7 +1094,66 @@ def q_ngram_exact_pairs(sf_dir: str):
             }
         )
 
-    return e2.map_batches(rekey, batch_format="pyarrow")
+    cross = e2.map_batches(rekey, batch_format="pyarrow")
+
+    # within-exact-dup-group pairs: docs with IDENTICAL text have J=1 and
+    # the inverted-index twin emits every such pair, but the LSH path runs
+    # over canonical fp64 nodes (exact dups collapse before banding) — the
+    # fp64-join above fans each edge out to all group members, yet pairs
+    # INSIDE one group have no canonical edge to expand. Emit them from
+    # the exact-dup groups directly; token-less texts produce no shingle
+    # on either side (the SQL's ex CTE excludes them) so they are skipped.
+    from sick_ray.shuffle import segment_pairs
+
+    def group_rows(batch: pa.Table) -> pa.Table:
+        did = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("url"), 6, 2**30), pa.int64()
+        )
+        has = pc.greater(
+            pc.count_substring_regex(
+                pc.utf8_lower(pc.fill_null(batch.column("text"), "")),
+                "[0-9a-z]+",
+            ),
+            0,
+        )
+        return pa.table(
+            {"fp64": batch.column("fp64"), "did": did, "has_tok": has}
+        )
+
+    gp = meta_full.select_columns(["url", "fp64", "text"]).map_batches(
+        group_rows, batch_format="pyarrow"
+    )
+
+    def emit_group_pairs(part: pa.Table) -> pa.Table:
+        fp = part.column("fp64").to_numpy(zero_copy_only=False)
+        did = part.column("did").to_numpy(zero_copy_only=False)
+        has = part.column("has_tok").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, fp))
+        fp_s, did_s, has_s = fp[order], did[order], has[order]
+        # exact-dup multiplicities are tiny (corpus dup groups); the huge
+        # cap means every pair is emitted, never a star fallback
+        i, j, _, _ = segment_pairs(fp_s, cap=1 << 62)
+        keep = has_s[i]                  # text identical within a group
+        return pa.table(
+            {
+                "u": pa.array(did_s[i][keep], type=pa.int64()),
+                "v": pa.array(did_s[j][keep], type=pa.int64()),
+            }
+        )
+
+    within = grouped_apply(
+        gp, ["fp64"], emit_group_pairs,
+        num_partitions=QCFG.num_partitions,
+    )
+    # final distinct: the tu/tv text joins key on fp64 but texts_ds has one
+    # row per DOC, so an edge touching an exact-dup group of size g reaches
+    # the verifier g times and each copy re-fans through the rekey joins —
+    # a*b copies of every cross pair whenever either endpoint has exact
+    # dups. One distinct over the (tiny) final did-pair set subsumes every
+    # duplicate source. (A mid-pipeline distinct_edges(verified) would be
+    # cheaper but Ray's join operator rejects map_groups output whose empty
+    # blocks carry no schema.)
+    return distinct_edges(cross.union(within), QCFG)
 
 
 def q_embedding_near_dup(sf_dir: str):
