@@ -143,9 +143,12 @@ _MOD32 = np.uint64(1) << np.uint64(32)
 def hash_sample_mask(ids: np.ndarray, buckets: int, residue: int) -> np.ndarray:
     """Deterministic multiplicative-hash sample: keep rows whose
     ``(id * 2654435761) mod 2^32 mod buckets == residue``. Knuth's
-    multiplicative scheme — SQL-expressible with BIGINT arithmetic, so
-    the same sample is reproducible by any engine. Stateless per row;
-    at 100 TB this is a pure map with no coordination."""
+    multiplicative scheme — SQL-expressible with INT128 (DuckDB HUGEINT)
+    arithmetic, so the same sample is reproducible by any engine; plain
+    BIGINT overflows at id ≥ ~3.47e9. The uint64 product here wraps mod
+    2^64, which is exact: 2^32 divides 2^64, so the result equals
+    (id * K) mod 2^32 for every non-negative id. Stateless per row; at
+    100 TB this is a pure map with no coordination."""
     v = ids.astype(np.uint64) * _KNUTH % _MOD32
     return (v % np.uint64(buckets)) == np.uint64(residue)
 
@@ -201,25 +204,18 @@ def shingle_hash_table(
     return ds.map_batches(emit, batch_format="pyarrow")
 
 
-def assemble_shingle_set(*blocks) -> np.ndarray:
-    """Ray-task body: concat + unique-sort the ``g`` columns of a shingle
-    Dataset's blocks into the broadcast probe array. Runs in-cluster on
-    the blocks' own refs — the driver never touches the hash set."""
-    arrs = [
-        b.column("g").to_numpy(zero_copy_only=False)
-        for b in blocks
-        if b.num_rows and "g" in b.column_names
-    ]
-    if not arrs:
-        return np.empty(0, dtype=np.int64)
-    return np.unique(np.concatenate(arrs))
+def finalize_shingle_set(tbl: pa.Table) -> np.ndarray:
+    """assemble_blocks finalize: unique-sorted ``g`` column — the broadcast
+    probe array (assembled in-cluster; the driver never touches it)."""
+    return np.unique(tbl.column("g").to_numpy(zero_copy_only=False))
 
 
 def make_contamination_prober(bench_ref, k: int = 8):
     """Per-batch prober: flags docs sharing any k-token shingle with the
     broadcast benchmark set. ``bench_ref`` is an ObjectRef of the sorted
     int64 hash array — typically the return ref of an in-cluster
-    :func:`assemble_shingle_set` task (zero driver traffic), though any
+    ``assemble_blocks(…, finalize_shingle_set)`` task (zero driver
+    traffic), though any
     ref (e.g. ``ray.put`` in tests) works; ``ray.get`` inside the task
     reads it zero-copy from plasma."""
 

@@ -129,17 +129,7 @@ def simhash_edges(ds, cfg: DedupConfig | None = None, max_hamming: int = 3,
     raw = grouped_apply(
         blocks, ["bkt"], make_simhash_edges(max_hamming), num_partitions=cfg.num_partitions
     )
-    import pyarrow.compute as pc
+    from sick_ray.shuffle import collect_counter_rows, kind_filter
 
-    if counters is not None:
-        raw = raw.materialize()
-        cnt = raw.map_batches(
-            lambda b: b.filter(pc.equal(b.column("kind"), 2)),
-            batch_format="pyarrow",
-        ).to_pandas()
-        counters["truncated_pairs"] = int(cnt["u"].sum()) if len(cnt) else 0
-        counters["truncated_groups"] = int(cnt["v"].sum()) if len(cnt) else 0
-    return raw.map_batches(
-        lambda b: b.filter(pc.equal(b.column("kind"), 0)).select(["u", "v"]),
-        batch_format="pyarrow",
-    )
+    raw = collect_counter_rows(raw, counters, "truncated_pairs", "truncated_groups")
+    return raw.map_batches(kind_filter(0), batch_format="pyarrow").select_columns(["u", "v"])

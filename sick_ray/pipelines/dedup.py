@@ -109,12 +109,17 @@ def _prepare(input_ds, cfg, out_dir):
         input_sig = f"<dataset:{id(input_ds)}>"
     runner = StageRunner(out_dir)
     cfg_fp = stage_fingerprint(dataclasses.asdict(cfg), input_sig)
-    # live progress counters (CacheSaturation analogue) — advisory only
+    # live progress counters (CacheSaturation analogue) — advisory only.
+    # Reset per RUN (blocking, so no stale rows race the first batch):
+    # the named actor outlives a pipeline invocation, and without the
+    # reset a second run in the same session reports >100% saturation.
+    # Counters are per-session-singleton by design — two pipelines running
+    # concurrently in one Ray session interleave their counts.
     try:
         import ray
 
         if ray.is_initialized():
-            progress.ensure_actor()
+            ray.get(progress.ensure_actor().reset.remote())
     except Exception:
         pass
     return input_ds, cfg, runner, cfg_fp

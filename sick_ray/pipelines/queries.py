@@ -530,7 +530,20 @@ def q_dedup_cluster_membership(sf_dir: str):
     Jaccard ≥ the engine's verify threshold (integer inequality) + exact-
     text duplicate edges, closed transitively with a recursive CTE — the
     reference's everything-deterministic-gets-a-second-implementation
-    discipline (SickTests.cs:202-204)."""
+    discipline (SickTests.cs:202-204).
+
+    VALIDITY DOMAIN: the engine links a pair when its 128-perm SIGNATURE
+    match fraction ≥ 0.72 (an estimator of J, σ ≈ 0.04 near the
+    threshold, deterministic for a fixed corpus+seed) and the pair shares
+    an LSH band; the oracle links on EXACT J ≥ 0.72. The two predicates
+    provably agree only for pairs whose exact J is well clear of 0.72
+    (|J − 0.72| ≳ 4σ ≈ 0.16). The shipped corpora satisfy this with one
+    measured exception that happens to agree: sf0.01 has no pair with
+    J ∈ (0.3, 0.85) except planted near-dups ≥ 0.875; sf0.1 has exactly
+    one pair at J = 0.75, and the seed's fixed signature draw matches
+    (parity asserted at BOTH scales in
+    test_oracle_parity.test_cluster_membership_sf01). A corpus dense
+    around J ≈ 0.72 would need a tolerance-banded oracle instead."""
     from sick_ray.pipelines.dedup import run_dedup
 
     res = run_dedup(_docs_as_webtext(sf_dir), QCFG)
@@ -1356,14 +1369,18 @@ SQL_NGRAM_ALLPAIRS_CAPPED = SQL_NGRAM_ALLPAIRS_JACCARD.replace(
 )
 
 
-def q_ngram_allpairs_capped(sf_dir: str, df_cap: int = 32):
+def q_ngram_allpairs_capped(sf_dir: str, df_cap: int = 32,
+                            out_dir: str | None = None,
+                            counters_out: dict | None = None):
     """The 100-TB path of the n-gram inverted index: shingles shared by
     more than ``df_cap`` docs (stopword/boilerplate shingles — each emits
     C(g,2) pairs, the quadratic blowup the oracle-checked exact query
     documents and defers) are DROPPED before pair emission, with the
     shortfall COUNTED, never silent: skipped_shingles / skipped_pairs
-    counter rows ride the pair stream (kind=2) and land in a _MANIFEST.json
-    beside the query. The cap is deterministic (grouped_apply co-locates a
+    counter rows ride the pair stream (kind=2) and surface through
+    ``counters_out`` (caller dict) and, when ``out_dir`` is given, a
+    _MANIFEST.json there — never a fixed path two concurrent runs would
+    clobber. The cap is deterministic (grouped_apply co-locates a
     shingle's every row, so per-group size = global df) and SQL-expressible,
     so this query is oracle-checked too (SQL_NGRAM_ALLPAIRS_CAPPED: the
     exact twin plus a HAVING df<=cap shingle filter); intersection counts
@@ -1440,25 +1457,22 @@ def q_ngram_allpairs_capped(sf_dir: str, df_cap: int = 32):
                                      else out[c].astype(np.int8))
                          for c in out})
 
-    raw = grouped_apply(
-        ex, ["s"], pairs_capped, num_partitions=QCFG.num_partitions
-    ).materialize()
-    cnt = raw.map_batches(
-        lambda b: b.filter(pc.equal(b.column("kind"), 2)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    counters = {
-        "df_cap": df_cap,
-        "skipped_shingles": int(cnt["u"].sum()) if len(cnt) else 0,
-        "skipped_pairs": int(cnt["v"].sum()) if len(cnt) else 0,
-    }
-    mdir = "/tmp/sick_ray_out/ngram_capped"
-    _os.makedirs(mdir, exist_ok=True)
-    with open(f"{mdir}/_MANIFEST.json", "w") as f:
-        _json.dump(counters, f)
+    from sick_ray.shuffle import collect_counter_rows, kind_filter
+
+    counters = {"df_cap": df_cap}
+    raw = collect_counter_rows(
+        grouped_apply(ex, ["s"], pairs_capped, num_partitions=QCFG.num_partitions),
+        counters, "skipped_shingles", "skipped_pairs",
+    )
+    if counters_out is not None:
+        counters_out.update(counters)
+    if out_dir is not None:
+        _os.makedirs(out_dir, exist_ok=True)
+        with open(f"{out_dir}/_MANIFEST.json", "w") as f:
+            _json.dump(counters, f)
 
     pair_rows = raw.map_batches(
-        lambda b: b.filter(pc.equal(b.column("kind"), 0)).drop_columns(["kind"]),
+        lambda b: kind_filter(0)(b).drop_columns(["kind"]),
         batch_format="pyarrow",
     )
 
@@ -2105,8 +2119,11 @@ def q_sample_docs(sf_dir: str):
 
 
 SQL_SAMPLE_DOCS = """
+-- HUGEINT cast: doc_id * 2654435761 overflows INT64 for doc_id >= ~3.47e9
+-- (the 100-TB id range); the kernel's uint64 wrap is harmless because
+-- 2^32 | 2^64, so both sides compute exactly (id * K) mod 2^32
 SELECT doc_id, lang, source, n_chars FROM documents
-WHERE ((doc_id * 2654435761) % 4294967296) % 10 = 3
+WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 10 = 3
 """
 
 
@@ -2118,13 +2135,12 @@ def q_decontaminate_docs(sf_dir: str):
     are MB-scale by nature); the corpus side probes per batch with
     searchsorted — no shuffle, no corpus materialization, no driver
     traffic."""
-    import ray
-
     from sick_ray.functions.curate import (
-        assemble_shingle_set,
+        finalize_shingle_set,
         make_contamination_prober,
         shingle_hash_table,
     )
+    from sick_ray.shuffle import assemble_blocks
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     bench = shingle_hash_table(
@@ -2133,8 +2149,9 @@ def q_decontaminate_docs(sf_dir: str):
     # assemble the benchmark hash set in-cluster from the Dataset's own
     # block refs (zero driver traffic — the labels-attach pattern); the
     # task's return ref IS the broadcast handle
-    bench_ref = ray.remote(num_cpus=1)(assemble_shingle_set).remote(
-        *bench.to_arrow_refs()
+    bench_ref = assemble_blocks(
+        bench, ["g"], finalize_shingle_set,
+        empty=np.empty(0, dtype=np.int64),
     )
     probe = make_contamination_prober(bench_ref, k=8)
 

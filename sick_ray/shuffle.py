@@ -155,15 +155,10 @@ def semi_select(input_ds, keys_ds, on: str, num_partitions: int,
     # assemble the key set IN the cluster from the dataset's own block refs
     # (plasma broadcast, zero driver traffic — the labels-attach pattern
     # from dedup.py; round 2 streamed the keys through the driver instead)
-    def assemble_keys(*blocks):
-        good = [b for b in blocks if b.num_rows and on in b.column_names]
-        if not good:
-            return None
-        return pa.concat_tables(
-            [b.select([on]) for b in good]
-        ).column(on).combine_chunks()
+    def finalize_keys(tbl: pa.Table):
+        return tbl.column(on).combine_chunks()
 
-    ref = ray.remote(num_cpus=1)(assemble_keys).remote(*keys_ds.to_arrow_refs())
+    ref = assemble_blocks(keys_ds, [on], finalize_keys, empty=None)
 
     def flt(batch: pa.Table) -> pa.Table:
         vs = ray.get(ref)
@@ -225,3 +220,63 @@ def segment_pairs(sorted_keys: np.ndarray, cap: int):
         j_idx = np.concatenate([j_idx, sv, cu + 1])
         trunc_pairs = int((pairs_per_group[big] - (2 * bz - 3)).sum())
     return i_idx, j_idx, trunc_pairs, trunc_groups
+
+
+def kind_filter(kind: int):
+    """map_batches fn: keep rows of a kind-tagged stream (0 = data rows,
+    1 = representative rows, 2 = counter sentinels)."""
+    import pyarrow.compute as pc
+
+    def f(batch):
+        return batch.filter(pc.equal(batch.column("kind"), kind))
+
+    return f
+
+
+def collect_counter_rows(raw, counters: dict | None, u_key: str, v_key: str):
+    """Sum the kind=2 sentinel rows of a tagged pair stream into
+    ``counters`` — the shared "counted, never silent" collector behind
+    every capped emitter (LSH, SimHash, embedding buckets, capped n-gram).
+    Sentinel rows carry (shortfall_a, shortfall_b) in their (u, v) slots;
+    they are summed into ``counters[u_key]`` / ``counters[v_key]``.
+
+    No-op passthrough when ``counters`` is None (the stream is consumed
+    once, lazily). Otherwise the dataset is materialized (idempotent on an
+    already-materialized dataset) so the counter read does not recompute
+    the upstream shuffle, and the materialized dataset is returned for the
+    caller's kind=0/1 filters."""
+    if counters is None:
+        return raw
+    raw = raw.materialize()
+    cnt = raw.map_batches(kind_filter(2), batch_format="pyarrow").to_pandas()
+    counters[u_key] = int(cnt["u"].sum()) if len(cnt) else 0
+    counters[v_key] = int(cnt["v"].sum()) if len(cnt) else 0
+    return raw
+
+
+def assemble_blocks(ds, columns: list[str], finalize, empty):
+    """One in-cluster Ray task concatenates ``columns`` of ``ds``'s
+    (materialized) blocks and returns ``finalize(table)`` — the shared
+    plasma-broadcast lookup-assembly pattern (the labels-attach design
+    from pipelines/dedup.py): downstream tasks ``ray.get`` the returned
+    ref as a zero-copy plasma read and the driver never touches a row.
+
+    Blocks with no rows or missing columns (schema-less empty blocks are
+    routine after map_groups) are dropped; when nothing remains the task
+    returns ``empty`` — callers pick their own sentinel so probe sites
+    fail loudly or short-circuit explicitly, never on a shape mismatch.
+
+    ``finalize`` must be picklable (module-level function or a closure
+    over module-level refs — never containing a function-local
+    ``from sick_ray...`` import, which breaks under a foreign-cwd driver).
+    Returns the ObjectRef of the finalized lookup."""
+    import ray
+
+    def body(*blocks):
+        good = [b for b in blocks if b.num_rows
+                and all(c in b.column_names for c in columns)]
+        if not good:
+            return empty
+        return finalize(pa.concat_tables([b.select(columns) for b in good]))
+
+    return ray.remote(num_cpus=1)(body).remote(*ds.to_arrow_refs())

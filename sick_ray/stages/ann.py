@@ -11,9 +11,14 @@
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
-from sick_ray.shuffle import first_mask, grouped_apply, mix64, segment_pairs, sort_index
+
+from sick_ray.shuffle import (assemble_blocks, collect_counter_rows, first_mask,
+                              grouped_apply, kind_filter, mix64, segment_pairs,
+                              sort_index)
 
 from sick_ray.config import AnnConfig
 
@@ -115,19 +120,18 @@ class HyperplaneHasher:
         return keys
 
 
-def assemble_emb_lookup(id_col: str, emb_col: str, *blocks):
-    """Remote-task body: concat materialized embedding blocks → (sorted
-    ids, normalized float32 matrix). Runs via ``ray.remote`` on block refs
-    so the lookup is assembled IN the cluster — nothing streams through
-    the driver (same pattern as lsh.assemble_sig_lookup)."""
-    good = [b for b in blocks if b.num_rows and id_col in b.column_names]
-    if not good:
-        return np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.float32)
-    ids = np.concatenate(
-        [b.column(id_col).to_numpy(zero_copy_only=False) for b in good]
-    ).astype(np.int64)
-    mats = [_normalize(_emb_matrix(b.column(emb_col))) for b in good]
-    m = np.concatenate(mats).astype(np.float32)
+_EMPTY_EMB_LOOKUP = (np.empty(0, dtype=np.int64),
+                     np.empty((0, 0), dtype=np.float32))
+
+
+def finalize_emb_lookup(id_col: str, emb_col: str, tbl):
+    """assemble_blocks finalize: concatenated embedding table → (sorted
+    ids, normalized float32 matrix) — the in-cluster plasma lookup (same
+    pattern as lsh.build_sig_lookup)."""
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _normalize(_emb_matrix(tbl.column(emb_col).combine_chunks())).astype(
+        np.float32
+    )
     order = np.argsort(ids, kind="stable")
     return ids[order], np.ascontiguousarray(m[order])
 
@@ -220,21 +224,10 @@ def embedding_near_dup_edges(emb_ds, threshold: float = 0.95,
         bucket_rows, batch_format="pyarrow"
     )
     raw = grouped_apply(rows, ["bkt"], emit, num_partitions=num_partitions)
-    if counters is not None:
-        raw = raw.materialize()
-        import pyarrow.compute as pc
-
-        cnt = raw.map_batches(
-            lambda b: b.filter(pc.equal(b.column("kind"), 2)),
-            batch_format="pyarrow",
-        ).to_pandas()
-        counters["truncated_pairs"] = int(cnt["u"].sum()) if len(cnt) else 0
-        counters["truncated_groups"] = int(cnt["v"].sum()) if len(cnt) else 0
+    raw = collect_counter_rows(raw, counters, "truncated_pairs", "truncated_groups")
 
     def only_edges(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.equal(batch.column("kind"), 0)).select(["u", "v"])
+        return kind_filter(0)(batch).select(["u", "v"])
 
     def dedup_pairs(part: pa.Table) -> pa.Table:
         u = part.column("u").to_numpy(zero_copy_only=False)
@@ -254,9 +247,11 @@ def embedding_near_dup_edges(emb_ds, threshold: float = 0.95,
         ["u"], dedup_pairs, num_partitions=num_partitions,
     )
 
-    blocks = emb_ds.to_arrow_refs()
-    build = ray.remote(num_cpus=1)(assemble_emb_lookup)
-    lookup_ref = build.remote(id_col, emb_col, *blocks)
+    lookup_ref = assemble_blocks(
+        emb_ds, [id_col, emb_col],
+        functools.partial(finalize_emb_lookup, id_col, emb_col),
+        empty=_EMPTY_EMB_LOOKUP,
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         empty = pa.table(

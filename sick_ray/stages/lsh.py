@@ -33,7 +33,9 @@ from sick_ray.stages.minhash import fsl_to_numpy
 from sick_ray.config import DedupConfig
 from sick_ray.shuffle import (
     U64,
+    collect_counter_rows,
     first_mask,
+    kind_filter,
     grouped_apply,
     join_partitions,
     mix64,
@@ -234,15 +236,6 @@ def _distinct_pairs_partition(part: pa.Table) -> pa.Table:
     )
 
 
-def _kind_filter(kind: int):
-    import pyarrow.compute as pc
-
-    def f(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch.column("kind"), kind))
-
-    return f
-
-
 def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None):
     """Signatures Dataset (fp64, band_hash, …) → candidate edge Dataset
     (u:int64, v:int64). One narrow-row shuffle for the count pre-pass, one
@@ -261,13 +254,11 @@ def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None):
     raw = grouped_apply(
         salted, ["sbkt"], make_pair_emitter(cfg), num_partitions=cfg.num_partitions
     ).materialize()
+    raw = collect_counter_rows(raw, counters, "truncated_pairs", "truncated_buckets")
     if counters is not None:
-        cnt = raw.map_batches(_kind_filter(2), batch_format="pyarrow").to_pandas()
-        counters["truncated_pairs"] = int(cnt["u"].sum()) if len(cnt) else 0
-        counters["truncated_buckets"] = int(cnt["v"].sum()) if len(cnt) else 0
         counters["hot_buckets"] = int(len(hot))
-    edges = raw.map_batches(_kind_filter(0), batch_format="pyarrow").select_columns(["u", "v"])
-    reps = raw.map_batches(_kind_filter(1), batch_format="pyarrow")
+    edges = raw.map_batches(kind_filter(0), batch_format="pyarrow").select_columns(["u", "v"])
+    reps = raw.map_batches(kind_filter(1), batch_format="pyarrow")
     rep_edges = grouped_apply(
         reps, ["bkt"], _link_reps_partition, num_partitions=cfg.num_partitions
     )

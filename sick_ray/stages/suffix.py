@@ -35,7 +35,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from sick_ray.shuffle import first_mask, grouped_apply, join_partitions, sort_index
+from sick_ray.shuffle import (assemble_blocks, first_mask, grouped_apply,
+                              join_partitions, sort_index)
 from sick_ray.xxh import xxh64_strings
 
 from sick_ray.config import DedupConfig
@@ -350,6 +351,14 @@ SA_BATCH_DOCS = 1024
 BROADCAST_URLMAP_LIMIT = 2_000_000
 
 
+def _finalize_url_lookup(tbl):
+    """assemble_blocks finalize: (sorted uhash array, urls in that order)."""
+    uh = tbl.column("uhash").to_numpy(zero_copy_only=False)
+    urls = tbl.column("url").to_numpy(zero_copy_only=False)
+    order = np.argsort(uh, kind="stable")
+    return np.ascontiguousarray(uh[order]), urls[order]
+
+
 def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
                     n_docs_hint: int | None = None,
                     url_list: list[str] | None = None):
@@ -468,21 +477,10 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
                 url_pairs, batch_format="pyarrow"
             ).materialize()
 
-            def assemble_urls(*blocks):
-                blocks = [
-                    b for b in blocks if b.num_rows and "uhash" in b.column_names
-                ]
-                if not blocks:
-                    return (np.empty(0, dtype=np.int64),
-                            np.empty(0, dtype=object))
-                tbl = pa.concat_tables([b.select(["uhash", "url"]) for b in blocks])
-                uh = tbl.column("uhash").to_numpy(zero_copy_only=False)
-                urls = tbl.column("url").to_numpy(zero_copy_only=False)
-                order = np.argsort(uh, kind="stable")
-                return np.ascontiguousarray(uh[order]), urls[order]
-
-            ref = ray.remote(num_cpus=1)(assemble_urls).remote(
-                *url_map_ds.to_arrow_refs()
+            ref = assemble_blocks(
+                url_map_ds, ["uhash", "url"], _finalize_url_lookup,
+                empty=(np.empty(0, dtype=np.int64),
+                       np.empty(0, dtype=object)),
             )
         else:
             # 100-TB path: distributed hash join of the (small) merged

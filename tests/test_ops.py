@@ -256,8 +256,15 @@ def test_ngram_capped_df_counts_skips(ray_session):
 
     sf = "/root/testdata/sf0.001"
     full = q_ngram_allpairs_jaccard(sf).to_pandas()
-    capped = q_ngram_allpairs_capped(sf, df_cap=1).to_pandas()
-    counters = json.load(open("/tmp/sick_ray_out/ngram_capped/_MANIFEST.json"))
+    counters: dict = {}
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as mdir:
+        capped = q_ngram_allpairs_capped(
+            sf, df_cap=1, out_dir=mdir, counters_out=counters
+        ).to_pandas()
+        on_disk = json.load(open(f"{mdir}/_MANIFEST.json"))
+    assert on_disk == counters
     assert counters["skipped_shingles"] > 0
     assert counters["skipped_pairs"] > 0
     # capped pairs ⊆ exact pairs (intersections only shrink under the cap)

@@ -93,3 +93,23 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(res)
     assert len(df) > 0
     assert set(["url", "cluster_id", "is_canonical"]) <= set(df.columns)
+
+
+def test_cluster_membership_sf01(ray_session):
+    """Membership parity at sf0.1 TOO — the scale with a near-threshold
+    pair (one pair at exact J = 0.75 vs the 0.72 verify threshold; see
+    q_dedup_cluster_membership's VALIDITY DOMAIN note). The sf0.01
+    parametrized check can't see threshold-noise disagreements because
+    that corpus has no pair anywhere near 0.72."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.1"
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ours = _canon(_to_pandas(e.queries()["dedup_cluster_membership"](sf)))
+    theirs = _canon(c.execute(e.oracle_sql()["dedup_cluster_membership"]).df())
+    pd.testing.assert_frame_equal(ours, theirs, check_dtype=False)

@@ -35,6 +35,29 @@ def test_progress_counters_track_rows(ray_session, tmp_path):
     assert "attach=300/300 (100%)" in line
 
 
+def test_progress_resets_between_runs(ray_session):
+    """A second pipeline run in the same Ray session must start its
+    counters from zero — the named actor outlives runs, and without the
+    per-run reset saturation reads 200% on the second run (bench.py runs
+    run_dedup twice per process)."""
+    import ray.data as rd
+
+    from sick_ray.config import DedupConfig
+    from sick_ray.pipelines.dedup import run_dedup
+    from sick_ray.state import progress
+    from sick_ray.synth import generate_webtext
+
+    tbl, _, _, _ = generate_webtext(200, seed=13)
+    cfg = DedupConfig(num_partitions=4, minhash_concurrency=2)
+    for _ in range(2):
+        res = run_dedup(rd.from_arrow(tbl), cfg)
+        res.clusters.materialize()
+    rows, totals = progress.snapshot()
+    assert rows.get("extract") == 200          # not 400
+    assert rows.get("attach") == 200
+    assert "(100%)" in progress.format_line(rows, totals)
+
+
 def test_counted_swallows_missing_actor(ray_session):
     """counted() must never fail the wrapped stage when the actor is gone."""
     from sick_ray.state import progress
