@@ -250,3 +250,70 @@ def make_contamination_prober(bench_ref, k: int = 8):
         )
 
     return probe
+
+
+# ------------------------------------------------------ chunk-level dedup
+
+def chunk_hashes(th: np.ndarray, offsets: np.ndarray, size: int):
+    """Non-overlapping ``size``-token chunk hashes per doc (the last chunk
+    of a doc may be shorter). The chunk hash is the order-sensitive
+    polynomial ``sum(th[j] * K^(L-1-j'))`` over the chunk's token hashes
+    (uint64 wrap), so hash equality ⇔ exact token-sequence equality
+    (modulo 2^-64 collisions — the same standing assumption as fp64).
+
+    Returns ``(ch uint64, cdoc int64, cidx int64, cstarts int64)``: one
+    hash per chunk, its doc index, its 0-based chunk index within the
+    doc, and the chunk's first-token position in the flat token array.
+    Zero-token docs emit no chunks. One vectorized pass — no per-doc
+    Python.
+    """
+    n_tok = len(th)
+    if n_tok == 0:
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint64), z, z, z
+    tdoc = _doc_index(offsets)
+    pos_in_doc = np.arange(n_tok, dtype=np.int64) - offsets[tdoc]
+    is_start = (pos_in_doc % size) == 0          # doc starts reset pos to 0
+    cstarts = np.flatnonzero(is_start)
+    clen = np.diff(np.append(cstarts, n_tok))
+    c_of_tok = np.cumsum(is_start) - 1
+    pos_in_chunk = np.arange(n_tok, dtype=np.int64) - cstarts[c_of_tok]
+    # K^e per token, e = chunk_len - 1 - pos_in_chunk (≤ size - 1);
+    # cumprod on the uint64 ARRAY wraps mod 2^64 silently (scalar ops warn)
+    pows = np.concatenate(
+        [np.ones(1, dtype=np.uint64),
+         np.cumprod(np.full(size - 1, _NGRAM_K, dtype=np.uint64))]
+    ) if size > 1 else np.ones(1, dtype=np.uint64)
+    contrib = th * pows[clen[c_of_tok] - 1 - pos_in_chunk]
+    ch = np.add.reduceat(contrib, cstarts)
+    return ch, tdoc[cstarts], pos_in_doc[cstarts] // size, cstarts
+
+
+def join_tokens_by_doc(low: np.ndarray, t_start: np.ndarray,
+                       t_end: np.ndarray, tok_mask: np.ndarray,
+                       tdoc: np.ndarray, n_docs: int) -> pa.Array:
+    """Per doc, the masked tokens (byte spans into the lowercased buffer
+    ``low``) joined by single spaces → ``pa.StringArray[n_docs]``. Docs
+    with no masked token come out as ''. One vectorized ragged-copy pass
+    over the output buffer — no per-doc Python. ``tdoc`` must be in doc
+    order (tokenize_hashes_col emits it that way)."""
+    kt = np.flatnonzero(tok_mask)
+    if len(kt) == 0:
+        return pa.array([""] * n_docs, type=pa.string())
+    ks, kd = t_start[kt], tdoc[kt]
+    lens = (t_end[kt] - ks).astype(np.int64)
+    last = np.ones(len(kt), dtype=bool)
+    last[:-1] = kd[1:] != kd[:-1]
+    out_len = lens + (~last)          # +1 space unless last kept in its doc
+    dst_start = np.cumsum(out_len) - out_len
+    dst = np.full(int(out_len.sum()), 0x20, dtype=np.uint8)
+    ragged = (np.arange(int(lens.sum()), dtype=np.int64)
+              - np.repeat(np.cumsum(lens) - lens, lens))
+    dst[np.repeat(dst_start, lens) + ragged] = low[np.repeat(ks, lens) + ragged]
+    doc_len = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(doc_len, kd, out_len)
+    offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    offsets[1:] = doc_len.cumsum().astype(np.int32)
+    return pa.StringArray.from_buffers(
+        n_docs, pa.py_buffer(offsets.tobytes()), pa.py_buffer(dst.tobytes())
+    )

@@ -2241,6 +2241,279 @@ GROUP BY label, i
 """
 
 
+def q_chunk_dedup_docs(sf_dir: str, chunk: int = 16):
+    """Chunk-level exact dedup (the C4/MassiveText repeated-passage
+    remover): split every doc into non-overlapping ``chunk``-token
+    chunks, keep only each distinct chunk's FIRST corpus occurrence
+    (min (doc_id, chunk_idx)), and emit the doc rebuilt from its
+    surviving chunks.
+
+    Ray shape (100 TB): stage A ships only 16 B (chunk_hash, packed
+    doc/idx key) rows into one hash shuffle whose reduce is a segment
+    min — corpus text never moves. The winner key set (≤ one row per
+    distinct chunk) is assembled in-cluster (assemble_blocks) and probed
+    per batch with a guarded searchsorted; above ~2M winners swap the
+    broadcast for a hash join on doc_id (the BROADCAST_KEYS_LIMIT
+    convention). Reassembly slices kept tokens zero-copy from the
+    tokenizer's own lowercased buffer (join_tokens_by_doc) — both sides
+    (engine and SQL) emit lowercase space-joined tokens, so the oracle
+    is byte-exact.
+
+    Output: (doc_id, n_chunks, n_kept, text_kept)."""
+    import ray
+
+    from sick_ray.functions.curate import chunk_hashes, join_tokens_by_doc
+    from sick_ray.shuffle import assemble_blocks
+    from sick_ray.stages.minhash import tokenize_hashes_col
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        th, offs = tokenize_hashes_col(col)
+        ch, cdoc, cidx, _ = chunk_hashes(th, offs, chunk)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        key = (did[cdoc].astype(np.uint64) << np.uint64(32)) | cidx.astype(
+            np.uint64
+        )  # doc_id, cidx < 2^32 (asserted by synth; revisit for 1e10-doc ids)
+        return pa.table(
+            {"ch": pa.array(ch.view(np.int64)),
+             "key": pa.array(key.view(np.int64))}
+        )
+
+    def first_per_chunk(part: pa.Table) -> pa.Table:
+        ch = part.column("ch").to_numpy(zero_copy_only=False)
+        key = part.column("key").to_numpy(zero_copy_only=False)
+        # uint64 view: the packed key must compare UNSIGNED (an int64 view
+        # would order doc_ids ≥ 2^31 before doc 0)
+        order = np.lexsort((key.view(np.uint64), ch))
+        ch_s, key_s = ch[order], key[order]
+        fm = first_mask(ch_s)
+        return pa.table({"key": pa.array(key_s[fm], type=pa.int64())})
+
+    # materialize: assemble_blocks reads the block refs AND Ray probes the
+    # schema — an unmaterialized plan re-executes per consumer
+    winners = grouped_apply(
+        docs.map_batches(chunk_rows, batch_format="pyarrow"),
+        ["ch"], first_per_chunk, num_partitions=QCFG.num_partitions,
+    ).materialize()
+
+    def finalize_keys(tbl: pa.Table) -> np.ndarray:
+        return np.sort(
+            tbl.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+
+    win_ref = assemble_blocks(
+        winners, ["key"], finalize_keys, empty=np.empty(0, dtype=np.uint64)
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        th, offs, t_start, t_end, low = tokenize_hashes_col(
+            col, return_spans=True
+        )
+        ch, cdoc, cidx, cstarts = chunk_hashes(th, offs, chunk)
+        keys = (did[cdoc].astype(np.uint64) << np.uint64(32)) | cidx.astype(
+            np.uint64
+        )
+        w = ray.get(win_ref)
+        pos = np.searchsorted(w, keys)
+        np.clip(pos, 0, max(len(w) - 1, 0), out=pos)
+        kept_chunk = (w[pos] == keys) if len(w) else np.zeros(len(keys), bool)
+        n_chunks = np.zeros(n, dtype=np.int64)
+        np.add.at(n_chunks, cdoc, 1)
+        n_kept = np.zeros(n, dtype=np.int64)
+        np.add.at(n_kept, cdoc[kept_chunk], 1)
+        # kept tokens: a token is kept iff its chunk won
+        clen = np.diff(np.append(cstarts, len(th)))
+        tok_kept = np.repeat(kept_chunk, clen)
+        if t_start is not None:
+            from sick_ray.functions.curate import _doc_index
+
+            text_kept = join_tokens_by_doc(
+                low, t_start, t_end, tok_kept, _doc_index(offs), n
+            )
+        else:
+            # non-ASCII fallback: recover tokens with the exact tokenizer
+            import re as _re
+
+            texts = col.to_pylist()
+            out, t_i = [], 0
+            for d_i, t in enumerate(texts):
+                toks = _re.findall(r"[^\W_]+", (t or "").lower())
+                kept = [tok for tok in toks if tok_kept[(t_i := t_i + 1) - 1]]
+                out.append(" ".join(kept))
+            text_kept = pa.array(out, type=pa.string())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chunks": pa.array(n_chunks, type=pa.int64()),
+                "n_kept": pa.array(n_kept, type=pa.int64()),
+                "text_kept": text_kept,
+            }
+        )
+
+    return docs.map_batches(rebuild, batch_format="pyarrow")
+
+
+SQL_CHUNK_DEDUP_DOCS = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+') AS t
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+15], ' ')
+                 for i in generate_series(1, len(t), 16)]) AS chunk,
+         unnest([(i - 1) // 16 for i in generate_series(1, len(t), 16)]) AS idx
+  FROM tok WHERE len(t) > 0
+), keep AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS kept
+  FROM ch
+), agg AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         count(*) FILTER (WHERE kept) AS n_kept,
+         coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE kept),
+                  '') AS text_kept
+  FROM keep GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_chunks, 0) AS n_chunks,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.text_kept, '') AS text_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Per-document keyword extraction: top-``k`` terms by tf/df (tf-idf
+    with the constant corpus-size factor dropped — monotone-equivalent
+    ranking), scored as the EXACT integer ``(tf * 1e9) // df`` so the
+    oracle comparison has no float drift, ties broken by term ascending.
+
+    Ray shape (100 TB): per-batch (doc, term) distinct rows with local tf
+    (narrow: hash + two ints + the short term string), ONE shuffle keyed
+    by term hash whose reduce annotates each row with the term's global
+    df (group size — rows are per-(doc, term) distinct), then a second
+    shuffle keyed by doc_id whose reduce takes the per-doc top-k with the
+    final tie-break applied locally. The classic two-exchange tf-idf; no
+    driver state, no global sort."""
+    from sick_ray.stages.minhash import tokenize_hashes_col
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        th, offs, t_start, t_end, low = tokenize_hashes_col(
+            col, return_spans=True
+        )
+        h = th.view(np.int64)
+        tdoc = np.repeat(np.arange(len(offs) - 1, dtype=np.int64),
+                         np.diff(offs))
+        order = np.lexsort((h, tdoc))
+        hs, ds = h[order], tdoc[order]
+        fm = first_mask(hs) | first_mask(ds)
+        starts = np.flatnonzero(fm)
+        tf = np.diff(np.append(starts, len(hs)))
+        rep_idx = order[starts]
+        if t_start is not None:
+            terms = [
+                low[t_start[i]:t_end[i]].tobytes().decode("ascii")
+                for i in rep_idx
+            ]
+        else:
+            import re as _re
+
+            toks = []
+            for t in col.to_pylist():
+                toks.extend(_re.findall(r"[^\W_]+", (t or "").lower()))
+            terms = np.asarray(toks, dtype=object)[rep_idx]
+        return pa.table(
+            {
+                "h": pa.array(hs[starts], type=pa.int64()),
+                "did": pa.array(did[ds[starts]], type=pa.int64()),
+                "tf": pa.array(tf, type=pa.int64()),
+                "term": pa.array(terms, type=pa.string()),
+            }
+        )
+
+    def add_df(part: pa.Table) -> pa.Table:
+        h = part.column("h").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        fm = first_mask(hs)
+        starts = np.flatnonzero(fm)
+        gsz = np.diff(np.append(starts, len(hs)))
+        df = np.empty(len(hs), dtype=np.int64)
+        df[order] = np.repeat(gsz, gsz)
+        return part.append_column("df", pa.array(df, type=pa.int64()))
+
+    def topk_per_doc(part: pa.Table) -> pa.Table:
+        did = part.column("did").to_numpy(zero_copy_only=False)
+        tf = part.column("tf").to_numpy(zero_copy_only=False)
+        df = part.column("df").to_numpy(zero_copy_only=False)
+        term = np.asarray(part.column("term").to_pylist(), dtype=object)
+        score = (tf * 1_000_000_000) // df
+        order = np.lexsort((term, -score, did))
+        d_s = did[order]
+        fm = first_mask(d_s)
+        starts = np.flatnonzero(fm)
+        pos = np.arange(len(d_s)) - np.repeat(starts, np.diff(
+            np.append(starts, len(d_s))
+        ))
+        top = pos < k
+        sel = order[top]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[sel], type=pa.int64()),
+                "term": pa.array(term[sel], type=pa.string()),
+                "score": pa.array(score[sel], type=pa.int64()),
+                "rk": pa.array(pos[top] + 1, type=pa.int64()),
+            }
+        )
+
+    # STAGED sorts: never chain two sort shuffles in one streaming
+    # execution (round-3 measurement: fused 184 s vs staged 64 s at
+    # 400k docs / 8 cpus; see ROUND2/3 notes and duplicate_spans)
+    with_df = grouped_apply(
+        docs.map_batches(tf_rows, batch_format="pyarrow"),
+        ["h"], add_df, num_partitions=QCFG.num_partitions,
+    ).materialize()
+    return grouped_apply(
+        with_df, ["did"], topk_per_doc, num_partitions=QCFG.num_partitions
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+'))
+           AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT t.doc_id, t.term, (t.tf * 1000000000) // d.df AS score,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY (t.tf * 1000000000) // d.df DESC, t.term
+         ) AS rk
+  FROM tf t JOIN df d USING (term)
+)
+SELECT doc_id, term, score, rk FROM scored WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dup_group_stats": q_dup_group_stats,
@@ -2292,6 +2565,8 @@ QUERIES = {
     "sample_docs": q_sample_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "embedding_centroids": q_embedding_centroids,
+    "chunk_dedup_docs": q_chunk_dedup_docs,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -2343,6 +2618,8 @@ ORACLES = {
     "sample_docs": SQL_SAMPLE_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "chunk_dedup_docs": SQL_CHUNK_DEDUP_DOCS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     # dedup_clusters_docs / doc_spans / simhash_docs / lang_id_docs /
     # quality_docs / knn_lsh_embeddings / media_decode: not SQL-expressible
     # (stateful hashing / heuristic scoring / LSH) → rows-only checks.

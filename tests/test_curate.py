@@ -155,3 +155,70 @@ def test_email_phone_patterns_are_re2_safe():
     # compiles under Python re too (no RE2-only syntax sneaking in)
     re.compile(EMAIL_RE)
     re.compile(PHONE_RE)
+
+
+def test_chunk_hashes_boundaries_and_order():
+    from sick_ray.functions.curate import chunk_hashes
+
+    th = np.arange(1, 12, dtype=np.uint64)              # docs of 5, 0, 6
+    offs = np.array([0, 5, 5, 11], dtype=np.int64)
+    ch, cdoc, cidx, cstarts = chunk_hashes(th, offs, 4)
+    assert list(cdoc) == [0, 0, 2, 2]                   # empty doc emits none
+    assert list(cidx) == [0, 1, 0, 1]
+    assert list(cstarts) == [0, 4, 5, 9]
+    # same token sequence hashes identically wherever it appears
+    ch2, *_ = chunk_hashes(np.array([1, 2, 3, 4], dtype=np.uint64),
+                           np.array([0, 4]), 4)
+    assert ch2[0] == ch[0]
+    # order-sensitive: permuted tokens hash differently
+    ch3, *_ = chunk_hashes(np.array([2, 1, 3, 4], dtype=np.uint64),
+                           np.array([0, 4]), 4)
+    assert ch3[0] != ch[0]
+    # short tail chunk ≠ prefix of a longer chunk with the same tokens
+    ch4, *_ = chunk_hashes(np.array([1, 2, 3], dtype=np.uint64),
+                           np.array([0, 3]), 4)
+    assert ch4[0] != ch[0]
+    # zero tokens
+    e, *_ = chunk_hashes(np.empty(0, dtype=np.uint64), np.array([0, 0]), 4)
+    assert len(e) == 0
+
+
+def test_join_tokens_by_doc():
+    from sick_ray.functions.curate import join_tokens_by_doc
+
+    low = np.frombuffer(b"hello world foo bar", dtype=np.uint8).copy()
+    t_start = np.array([0, 6, 12, 16])
+    t_end = np.array([5, 11, 15, 19])
+    tdoc = np.array([0, 0, 1, 1])
+    assert join_tokens_by_doc(
+        low, t_start, t_end, np.ones(4, bool), tdoc, 3
+    ).to_pylist() == ["hello world", "foo bar", ""]
+    assert join_tokens_by_doc(
+        low, t_start, t_end, np.array([True, False, False, True]), tdoc, 2
+    ).to_pylist() == ["hello", "bar"]
+    assert join_tokens_by_doc(
+        low, t_start, t_end, np.zeros(4, bool), tdoc, 2
+    ).to_pylist() == ["", ""]
+
+
+def test_chunk_dedup_drops_duplicate_doc(ray_session, tmp_path):
+    """A doc whose text is an exact copy of an earlier doc must keep zero
+    chunks; the earlier doc keeps everything; text_kept is the lowercase
+    space-joined token stream."""
+    import pyarrow.parquet as pq
+
+    from sick_ray.pipelines.queries import q_chunk_dedup_docs
+
+    words = " ".join(f"tok{i}" for i in range(40))      # 40 tokens, 3 chunks
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": [words, words, "completely different words here"],
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = (q_chunk_dedup_docs(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1, "n_chunks"] == 3 and out.loc[1, "n_kept"] == 3
+    assert out.loc[2, "n_chunks"] == 3 and out.loc[2, "n_kept"] == 0
+    assert out.loc[2, "text_kept"] == ""
+    assert out.loc[1, "text_kept"] == words
+    assert out.loc[3, "n_kept"] == out.loc[3, "n_chunks"] == 1
