@@ -131,7 +131,7 @@ def run_bench() -> dict:
         "pricing_summary", "segment_revenue", "events_hourly", "token_count_docs",
         "exact_dedup_docs", "knn_embeddings", "simhash_docs",
         "gopher_repetition", "decontaminate_docs",
-        "chunk_dedup_docs", "tfidf_top_terms",
+        "chunk_dedup_docs", "tfidf_top_terms", "kmeans_embeddings",
     ):
         t = time.time()
         out = QUERIES[name](SF_DIR)

@@ -2492,6 +2492,22 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3):
     )
 
 
+def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
+    """Full-corpus distributed k-means (spherical Lloyd) over the
+    embeddings table: per iteration centroids broadcast once, one
+    streaming assignment+partial-sum pass, O(k·d) driver fold — the
+    iterative-refinement pattern (train_centroids' sample-bounded twin
+    that sees EVERY vector). Rows-only by design: the fixpoint depends on
+    float summation order across blocks, so no SQL oracle; pytest gates
+    it against a single-process numpy Lloyd with the same deterministic
+    init (assignment-identical, centroids allclose) instead."""
+    from sick_ray.stages.ann import kmeans_lloyd
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assignments, _cent = kmeans_lloyd(emb, k=k, iters=iters)
+    return assignments
+
+
 SQL_TFIDF_TOP_TERMS = """
 WITH tok AS (
   SELECT doc_id,
@@ -2567,6 +2583,7 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "chunk_dedup_docs": q_chunk_dedup_docs,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "kmeans_embeddings": q_kmeans_embeddings,
 }
 
 ORACLES = {
@@ -2620,7 +2637,10 @@ ORACLES = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "chunk_dedup_docs": SQL_CHUNK_DEDUP_DOCS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
-    # dedup_clusters_docs / doc_spans / simhash_docs / lang_id_docs /
-    # quality_docs / knn_lsh_embeddings / media_decode: not SQL-expressible
-    # (stateful hashing / heuristic scoring / LSH) → rows-only checks.
+    # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
+    # embedding_near_dup / media_decode / kmeans_embeddings: not
+    # SQL-expressible (content-addressed ids, spans drift, LSH/IVF
+    # approximation, fake-decode plumbing, float-order-dependent
+    # fixpoint) → rows-only checks; each is gated by a pytest oracle
+    # (recall vs brute, golden tables, or a second implementation).
 }

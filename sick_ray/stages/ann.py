@@ -498,3 +498,91 @@ def knn_ivf(emb_ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
     merged["cosine"] = merged["cosine"].round(6)
     return pa.Table.from_pandas(merged[["query_id", "vec_id", "cosine", "rank"]],
                                 preserve_index=False)
+
+
+def kmeans_lloyd(emb_ds, k: int = 8, iters: int = 5,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Distributed Lloyd's k-means over the FULL corpus (spherical:
+    cosine assignment on unit vectors, cluster mean re-normalized) — the
+    iterative-refinement execution pattern: per iteration the centroid
+    matrix is broadcast once (``ray.put``), every batch assigns its
+    points with one matmul and emits a ≤ k×d long-format partial
+    (cluster, dim, sum, count), and the driver folds those tiny partials
+    into the next centroids. O(k·d) driver state, one streaming pass per
+    iteration, NO shuffle — the corpus never moves. (train_centroids is
+    the bounded-sample variant; this one sees every vector.)
+
+    Deterministic init: the k lowest-``id_col`` vectors, found with a
+    per-batch partial top-k + driver merge (never a corpus sort). Empty
+    clusters keep their previous centroid (standard Lloyd convention).
+
+    Returns ``(assignments Dataset (vec_id, cluster:int64), centroids
+    float64 (k, d))``. Assignment ties break toward the lowest cluster
+    id (np.argmax-first), matching a single-process Lloyd run.
+    """
+    import pandas as pd
+    import ray
+
+    emb_ds = emb_ds.materialize()       # consumed iters + 2 times
+
+    def init_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        kk = min(k, len(ids))
+        sel = np.argpartition(ids, kk - 1)[:kk] if len(ids) > kk else (
+            np.arange(len(ids)))
+        return batch.take(pa.array(np.sort(sel)))
+
+    # ≤ k rows per block reach the driver — a bounded partial-top-k merge
+    seed_df = emb_ds.map_batches(
+        init_partial, batch_format="pyarrow"
+    ).to_pandas().sort_values(id_col).head(k)
+    cent = _normalize(
+        np.asarray(list(seed_df[emb_col]), dtype=np.float64)
+    )
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _normalize(_emb_matrix(batch.column(emb_col)))
+            a = np.argmax(m @ c.T, axis=1).astype(np.int64)
+            o = np.argsort(a, kind="stable")
+            a_s, m_s = a[o], m[o]
+            fm = first_mask(a_s)
+            starts = np.flatnonzero(fm)
+            sums = np.add.reduceat(m_s, starts, axis=0)
+            cnt = np.diff(np.append(starts, len(a_s)))
+            labs = a_s[starts]
+            d = m.shape[1]
+            return pa.table({
+                "c": pa.array(np.repeat(labs, d), type=pa.int64()),
+                "j": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                      len(labs))),
+                "s": pa.array(sums.reshape(-1), type=pa.float64()),
+                "n": pa.array(np.repeat(cnt, d), type=pa.int64()),
+            })
+
+        parts = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        g = parts.groupby(["c", "j"], as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
+        new = cent.copy()
+        for c_id, sub in g.groupby("c"):
+            v = sub.sort_values("j")["s"].to_numpy()
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                new[int(c_id)] = v / nrm
+        cent = new
+
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_emb_matrix(batch.column(emb_col)))
+        a = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column(id_col),
+            "cluster": pa.array(a, type=pa.int64()),
+        })
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow"), cent

@@ -296,3 +296,39 @@ def test_ngram_capped_df_counts_skips(ray_session):
     pd.testing.assert_frame_equal(
         eng_s.astype("int64"), ora_s.astype("int64")
     )
+
+
+def test_kmeans_lloyd_matches_local_reference(ray_session):
+    """Distributed Lloyd must reproduce a single-process numpy Lloyd with
+    the same deterministic init: identical assignments, allclose
+    centroids (float summation ORDER differs across blocks, so exact
+    bit-equality of centroids is not required — assignments are the
+    integer-stable contract)."""
+    import ray.data as rd
+
+    from sick_ray.stages.ann import _emb_matrix, _normalize, kmeans_lloyd
+
+    emb = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    k, iters = 8, 5
+    assigns, cent = kmeans_lloyd(emb, k=k, iters=iters)
+    got = assigns.to_pandas().sort_values("vec_id")
+
+    # local reference: same init (k lowest vec_ids), same update rule
+    tbl = pa.concat_tables(
+        list(emb.iter_batches(batch_size=10**6, batch_format="pyarrow"))
+    )
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    m_sorted = _normalize(_emb_matrix(tbl.column("embedding").combine_chunks()))[order]
+    c = m_sorted[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        a = np.argmax(m_sorted @ c.T, axis=1)
+        for ci in range(k):
+            v = m_sorted[a == ci].sum(axis=0)
+            n = np.linalg.norm(v)
+            if n > 0:
+                c[ci] = v / n
+    ref_a = np.argmax(m_sorted @ c.T, axis=1)
+    assert (got["cluster"].to_numpy() == ref_a).all()
+    assert np.allclose(cent, c, atol=1e-8)
+    assert len(np.unique(ref_a)) > 1          # the clustering is non-trivial
