@@ -317,3 +317,116 @@ def join_tokens_by_doc(low: np.ndarray, t_start: np.ndarray,
     return pa.StringArray.from_buffers(
         n_docs, pa.py_buffer(offsets.tobytes()), pa.py_buffer(dst.tobytes())
     )
+
+
+def chunk_dedup(ds, chunk: int = 16, id_col: str = "doc_id",
+                text_col: str = "text", num_partitions: int = 64):
+    """Chunk-level exact dedup core (the C4/MassiveText repeated-passage
+    remover): split every doc into non-overlapping ``chunk``-token
+    chunks, keep only each distinct chunk's FIRST corpus occurrence
+    (min (id, chunk_idx)), and emit the doc rebuilt from its surviving
+    chunks — ``(id_col, n_chunks, n_kept, text_kept)``.
+
+    Ray shape (100 TB): stage A ships only 16 B (chunk_hash, packed
+    id/idx key) rows into one hash shuffle whose reduce is a segment
+    min — corpus text never moves. The winner key set (≤ one row per
+    distinct chunk) is assembled in-cluster (assemble_blocks) and probed
+    per batch with a guarded searchsorted; above ~2M winners swap the
+    broadcast for a hash join on ``id_col`` (the BROADCAST_KEYS_LIMIT
+    convention). Reassembly slices kept tokens zero-copy from the
+    tokenizer's own lowercased buffer (join_tokens_by_doc), so the
+    output text is the lowercase space-joined token stream — byte-equal
+    to SQL's array_to_string over regexp_extract_all(lower(text))."""
+    import ray
+
+    from sick_ray.shuffle import assemble_blocks, grouped_apply
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        th, offs = tokenize_hashes_col(col)
+        ch, cdoc, cidx, _ = chunk_hashes(th, offs, chunk)
+        did = batch.column(id_col).to_numpy(zero_copy_only=False)
+        key = (did[cdoc].astype(np.uint64) << np.uint64(32)) | cidx.astype(
+            np.uint64
+        )  # id, cidx < 2^32 (asserted by synth; revisit for 1e10-doc ids)
+        return pa.table(
+            {"ch": pa.array(ch.view(np.int64)),
+             "key": pa.array(key.view(np.int64))}
+        )
+
+    def first_per_chunk(part: pa.Table) -> pa.Table:
+        ch = part.column("ch").to_numpy(zero_copy_only=False)
+        key = part.column("key").to_numpy(zero_copy_only=False)
+        # uint64 view: the packed key must compare UNSIGNED (an int64
+        # view would order ids ≥ 2^31 before id 0)
+        order = np.lexsort((key.view(np.uint64), ch))
+        ch_s, key_s = ch[order], key[order]
+        fm = first_mask(ch_s)
+        return pa.table({"key": pa.array(key_s[fm], type=pa.int64())})
+
+    # materialize: assemble_blocks reads the block refs AND Ray probes
+    # the schema — an unmaterialized plan re-executes per consumer
+    winners = grouped_apply(
+        ds.map_batches(chunk_rows, batch_format="pyarrow"),
+        ["ch"], first_per_chunk, num_partitions=num_partitions,
+    ).materialize()
+
+    def finalize_keys(tbl: pa.Table) -> np.ndarray:
+        return np.sort(
+            tbl.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+
+    win_ref = assemble_blocks(
+        winners, ["key"], finalize_keys, empty=np.empty(0, dtype=np.uint64)
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        did = batch.column(id_col).to_numpy(zero_copy_only=False)
+        th, offs, t_start, t_end, low = tokenize_hashes_col(
+            col, return_spans=True
+        )
+        ch, cdoc, cidx, cstarts = chunk_hashes(th, offs, chunk)
+        keys = (did[cdoc].astype(np.uint64) << np.uint64(32)) | cidx.astype(
+            np.uint64
+        )
+        w = ray.get(win_ref)
+        pos = np.searchsorted(w, keys)
+        np.clip(pos, 0, max(len(w) - 1, 0), out=pos)
+        kept_chunk = (w[pos] == keys) if len(w) else np.zeros(len(keys), bool)
+        n_chunks = np.zeros(n, dtype=np.int64)
+        np.add.at(n_chunks, cdoc, 1)
+        n_kept = np.zeros(n, dtype=np.int64)
+        np.add.at(n_kept, cdoc[kept_chunk], 1)
+        # kept tokens: a token is kept iff its chunk won
+        clen = np.diff(np.append(cstarts, len(th)))
+        tok_kept = np.repeat(kept_chunk, clen)
+        if t_start is not None:
+            text_kept = join_tokens_by_doc(
+                low, t_start, t_end, tok_kept, _doc_index(offs), n
+            )
+        else:
+            # non-ASCII fallback: recover tokens with the exact tokenizer
+            import re as _re
+
+            out, t_i = [], 0
+            for t in col.to_pylist():
+                toks = _re.findall(r"[^\W_]+", (t or "").lower())
+                kept = [tok for tok in toks if tok_kept[(t_i := t_i + 1) - 1]]
+                out.append(" ".join(kept))
+            text_kept = pa.array(out, type=pa.string())
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_chunks": pa.array(n_chunks, type=pa.int64()),
+                "n_kept": pa.array(n_kept, type=pa.int64()),
+                "text_kept": text_kept,
+            }
+        )
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

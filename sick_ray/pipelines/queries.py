@@ -2242,124 +2242,14 @@ GROUP BY label, i
 
 
 def q_chunk_dedup_docs(sf_dir: str, chunk: int = 16):
-    """Chunk-level exact dedup (the C4/MassiveText repeated-passage
-    remover): split every doc into non-overlapping ``chunk``-token
-    chunks, keep only each distinct chunk's FIRST corpus occurrence
-    (min (doc_id, chunk_idx)), and emit the doc rebuilt from its
-    surviving chunks.
-
-    Ray shape (100 TB): stage A ships only 16 B (chunk_hash, packed
-    doc/idx key) rows into one hash shuffle whose reduce is a segment
-    min — corpus text never moves. The winner key set (≤ one row per
-    distinct chunk) is assembled in-cluster (assemble_blocks) and probed
-    per batch with a guarded searchsorted; above ~2M winners swap the
-    broadcast for a hash join on doc_id (the BROADCAST_KEYS_LIMIT
-    convention). Reassembly slices kept tokens zero-copy from the
-    tokenizer's own lowercased buffer (join_tokens_by_doc) — both sides
-    (engine and SQL) emit lowercase space-joined tokens, so the oracle
-    is byte-exact.
-
-    Output: (doc_id, n_chunks, n_kept, text_kept)."""
-    import ray
-
-    from sick_ray.functions.curate import chunk_hashes, join_tokens_by_doc
-    from sick_ray.shuffle import assemble_blocks
-    from sick_ray.stages.minhash import tokenize_hashes_col
+    """Chunk-level exact dedup (C4/MassiveText repeated-passage removal)
+    over the documents table — see functions/curate.py::chunk_dedup for
+    the operator core and its 100-TB shape. Output: (doc_id, n_chunks,
+    n_kept, text_kept), byte-exact vs the SQL twin."""
+    from sick_ray.functions.curate import chunk_dedup
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def chunk_rows(batch: pa.Table) -> pa.Table:
-        col = batch.column("text")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        th, offs = tokenize_hashes_col(col)
-        ch, cdoc, cidx, _ = chunk_hashes(th, offs, chunk)
-        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        key = (did[cdoc].astype(np.uint64) << np.uint64(32)) | cidx.astype(
-            np.uint64
-        )  # doc_id, cidx < 2^32 (asserted by synth; revisit for 1e10-doc ids)
-        return pa.table(
-            {"ch": pa.array(ch.view(np.int64)),
-             "key": pa.array(key.view(np.int64))}
-        )
-
-    def first_per_chunk(part: pa.Table) -> pa.Table:
-        ch = part.column("ch").to_numpy(zero_copy_only=False)
-        key = part.column("key").to_numpy(zero_copy_only=False)
-        # uint64 view: the packed key must compare UNSIGNED (an int64 view
-        # would order doc_ids ≥ 2^31 before doc 0)
-        order = np.lexsort((key.view(np.uint64), ch))
-        ch_s, key_s = ch[order], key[order]
-        fm = first_mask(ch_s)
-        return pa.table({"key": pa.array(key_s[fm], type=pa.int64())})
-
-    # materialize: assemble_blocks reads the block refs AND Ray probes the
-    # schema — an unmaterialized plan re-executes per consumer
-    winners = grouped_apply(
-        docs.map_batches(chunk_rows, batch_format="pyarrow"),
-        ["ch"], first_per_chunk, num_partitions=QCFG.num_partitions,
-    ).materialize()
-
-    def finalize_keys(tbl: pa.Table) -> np.ndarray:
-        return np.sort(
-            tbl.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
-        )
-
-    win_ref = assemble_blocks(
-        winners, ["key"], finalize_keys, empty=np.empty(0, dtype=np.uint64)
-    )
-
-    def rebuild(batch: pa.Table) -> pa.Table:
-        col = batch.column("text")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        n = len(col)
-        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        th, offs, t_start, t_end, low = tokenize_hashes_col(
-            col, return_spans=True
-        )
-        ch, cdoc, cidx, cstarts = chunk_hashes(th, offs, chunk)
-        keys = (did[cdoc].astype(np.uint64) << np.uint64(32)) | cidx.astype(
-            np.uint64
-        )
-        w = ray.get(win_ref)
-        pos = np.searchsorted(w, keys)
-        np.clip(pos, 0, max(len(w) - 1, 0), out=pos)
-        kept_chunk = (w[pos] == keys) if len(w) else np.zeros(len(keys), bool)
-        n_chunks = np.zeros(n, dtype=np.int64)
-        np.add.at(n_chunks, cdoc, 1)
-        n_kept = np.zeros(n, dtype=np.int64)
-        np.add.at(n_kept, cdoc[kept_chunk], 1)
-        # kept tokens: a token is kept iff its chunk won
-        clen = np.diff(np.append(cstarts, len(th)))
-        tok_kept = np.repeat(kept_chunk, clen)
-        if t_start is not None:
-            from sick_ray.functions.curate import _doc_index
-
-            text_kept = join_tokens_by_doc(
-                low, t_start, t_end, tok_kept, _doc_index(offs), n
-            )
-        else:
-            # non-ASCII fallback: recover tokens with the exact tokenizer
-            import re as _re
-
-            texts = col.to_pylist()
-            out, t_i = [], 0
-            for d_i, t in enumerate(texts):
-                toks = _re.findall(r"[^\W_]+", (t or "").lower())
-                kept = [tok for tok in toks if tok_kept[(t_i := t_i + 1) - 1]]
-                out.append(" ".join(kept))
-            text_kept = pa.array(out, type=pa.string())
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_chunks": pa.array(n_chunks, type=pa.int64()),
-                "n_kept": pa.array(n_kept, type=pa.int64()),
-                "text_kept": text_kept,
-            }
-        )
-
-    return docs.map_batches(rebuild, batch_format="pyarrow")
+    return chunk_dedup(docs, chunk=chunk, num_partitions=QCFG.num_partitions)
 
 
 SQL_CHUNK_DEDUP_DOCS = """
@@ -2492,6 +2382,133 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3):
     )
 
 
+def q_curated_corpus(sf_dir: str, chunk: int = 16):
+    """END-TO-END curation composition — the pipeline a training-data
+    user actually runs, as ONE streaming Dataset chain:
+
+        Gopher repetition filter (on the original text)
+        → PII augment + redact (the corpus has no organic PII, so both
+          sides append the deterministic doc_id-derived email/phone
+          before masking — redacted tails collapse back to identical
+          strings, so exact-dup docs stay exact dups)
+        → chunk-level exact dedup over the REDACTED text.
+
+    Every stage is individually oracled; this query chains the SAME
+    exact CTEs in SQL, so the composition is oracle-checked end-to-end
+    (byte-exact reassembled text). Output: (doc_id, n_chunks, n_kept,
+    text_kept) for gopher-surviving docs."""
+    from sick_ray.functions.curate import (
+        add_repetition_stats,
+        chunk_dedup,
+        redact_pii,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gopher_filter(batch: pa.Table) -> pa.Table:
+        stats = add_repetition_stats(batch)      # row-aligned with batch
+        keep = pc.equal(stats.column("gopher_keep"), 1)
+        return batch.filter(keep)
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        ids_s = pc.cast(ids, pa.string())
+        tail = pc.utf8_lpad(
+            pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 10000), 10000)),
+                    pa.string()),
+            4, "0",
+        )
+        aug = pc.binary_join_element_wise(
+            batch.column("text"), " contact user", ids_s,
+            "@example.com or call 555-", tail, " now", "",
+        )
+        return pa.table({"doc_id": ids, "aug": aug})
+
+    def to_text(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": batch.column("redacted")})
+
+    curated = (
+        docs.map_batches(gopher_filter, batch_format="pyarrow")
+        .map_batches(augment, batch_format="pyarrow")
+        .map_batches(lambda b: redact_pii(b, text_col="aug"),
+                     batch_format="pyarrow")
+        .map_batches(to_text, batch_format="pyarrow")
+    )
+    return chunk_dedup(curated, chunk=chunk,
+                       num_partitions=QCFG.num_partitions)
+
+
+SQL_CURATED_CORPUS = """
+WITH t0 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS l
+  FROM documents
+),
+tok0 AS (SELECT doc_id, unnest(l) AS tok FROM t0),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok0 GROUP BY doc_id, tok),
+tstats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(max(c) AS BIGINT) AS top_token_n
+  FROM cnt GROUP BY doc_id
+),
+ge AS (
+  SELECT doc_id,
+         unnest([array_to_string(l[i:i+4], ' ')
+                 for i in generate_series(1, greatest(len(l) - 4, 0))]) AS g
+  FROM t0
+),
+gstats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_5grams,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_5grams
+  FROM ge GROUP BY doc_id
+),
+gk AS (
+  SELECT d.doc_id FROM documents d
+  LEFT JOIN tstats USING (doc_id) LEFT JOIN gstats USING (doc_id)
+  WHERE floor(coalesce(tstats.top_token_n, 0) * 1000000.0
+              / greatest(coalesce(tstats.n_tokens, 0), 1)) <= 200000
+    AND floor((coalesce(gstats.n_5grams, 0)
+               - coalesce(gstats.n_distinct_5grams, 0)) * 1000000.0
+              / greatest(coalesce(gstats.n_5grams, 0), 1)) <= 300000
+),
+red AS (
+  SELECT d.doc_id,
+         regexp_replace(regexp_replace(
+           d.text || ' contact user' || CAST(d.doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0') || ' now',
+           '[0-9A-Za-z._%+\\-]+@[0-9A-Za-z.\\-]+\\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g'),
+           '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS text
+  FROM documents d JOIN gk USING (doc_id)
+),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+') AS t
+  FROM red
+), ch AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+15], ' ')
+                 for i in generate_series(1, len(t), 16)]) AS chunk,
+         unnest([(i - 1) // 16 for i in generate_series(1, len(t), 16)]) AS idx
+  FROM tok WHERE len(t) > 0
+), keep AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS kept
+  FROM ch
+), agg AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         count(*) FILTER (WHERE kept) AS n_kept,
+         coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE kept),
+                  '') AS text_kept
+  FROM keep GROUP BY doc_id
+)
+SELECT r.doc_id, coalesce(a.n_chunks, 0) AS n_chunks,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.text_kept, '') AS text_kept
+FROM red r LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     """Full-corpus distributed k-means (spherical Lloyd) over the
     embeddings table: per iteration centroids broadcast once, one
@@ -2584,6 +2601,7 @@ QUERIES = {
     "chunk_dedup_docs": q_chunk_dedup_docs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "curated_corpus": q_curated_corpus,
 }
 
 ORACLES = {
@@ -2637,6 +2655,7 @@ ORACLES = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "chunk_dedup_docs": SQL_CHUNK_DEDUP_DOCS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "curated_corpus": SQL_CURATED_CORPUS,
     # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
     # embedding_near_dup / media_decode / kmeans_embeddings: not
     # SQL-expressible (content-addressed ids, spans drift, LSH/IVF
