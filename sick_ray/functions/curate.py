@@ -336,7 +336,14 @@ def chunk_dedup(ds, chunk: int = 16, id_col: str = "doc_id",
     convention). Reassembly slices kept tokens zero-copy from the
     tokenizer's own lowercased buffer (join_tokens_by_doc), so the
     output text is the lowercase space-joined token stream — byte-equal
-    to SQL's array_to_string over regexp_extract_all(lower(text))."""
+    to SQL's array_to_string over regexp_extract_all(lower(text)).
+
+    NOTE: ``ds`` is consumed TWICE (winner pass + rebuild pass); a LAZY
+    input re-executes its upstream map chain once per consumer. For
+    cheap vectorized chains (parquet read, filters, redaction) that
+    re-execution streams and is cheaper than materializing a
+    corpus-sized intermediate into the object store; materialize
+    expensive inputs (a join output, a model-scoring stage) first."""
     import ray
 
     from sick_ray.shuffle import assemble_blocks, grouped_apply

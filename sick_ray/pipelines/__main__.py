@@ -27,6 +27,14 @@ def main(argv=None) -> int:
     p.add_argument("input", help="input webtext parquet file/dir")
     p.add_argument("out_dir", help="checkpoint + output directory")
     p.add_argument("--spans", action="store_true", help="also run substring dedup")
+    p.add_argument(
+        "--curate", action="store_true",
+        help="run the curation composition instead of dedup: Gopher "
+             "repetition filter → PII redaction → chunk-level exact dedup; "
+             "input needs an int64 id column (--id-col) and a text column",
+    )
+    p.add_argument("--id-col", default="doc_id",
+                   help="int64 id column for --curate (default doc_id)")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--partitions", type=int, default=64)
     args = p.parse_args(argv)
@@ -75,6 +83,63 @@ def main(argv=None) -> int:
 
     threading.Thread(target=_poll, daemon=True).start()
     t0 = time.time()
+    if args.curate:
+        # curation composition (no checkpointed stages — one streaming
+        # chain; the manifest records the finished output for skip-if-done
+        # orchestration at a higher level)
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from sick_ray.functions.curate import (
+            add_repetition_stats,
+            chunk_dedup,
+            redact_pii,
+        )
+
+        docs = rd.read_parquet(args.input, columns=[args.id_col, "text"])
+
+        def gopher_filter(b):
+            stats = add_repetition_stats(
+                b.rename_columns([  # kernel expects doc_id naming
+                    "doc_id" if c == args.id_col else c
+                    for c in b.column_names
+                ])
+            )
+            return b.filter(pc.equal(stats.column("gopher_keep"), 1))
+
+        def redacted_to_text(b):
+            return b.drop_columns(["n_emails", "n_phones"]).rename_columns(
+                ["text" if c == "redacted" else c for c in
+                 b.drop_columns(["n_emails", "n_phones"]).column_names]
+            )
+
+        chain = (
+            docs.map_batches(gopher_filter, batch_format="pyarrow")
+            .map_batches(redact_pii, batch_format="pyarrow")
+            .map_batches(redacted_to_text, batch_format="pyarrow")
+        )
+        curated = chunk_dedup(chain, id_col=args.id_col,
+                              num_partitions=args.partitions).materialize()
+        out = os.path.join(args.out_dir, "curated")
+        os.makedirs(out, exist_ok=True)
+        curated.write_parquet(out)
+        from ray.data.aggregate import Sum
+
+        from sick_ray.state.manifest import commit_manifest
+
+        commit_manifest(out, "curated", "cli")
+        agg = curated.aggregate(Sum("n_chunks"), Sum("n_kept"))
+        summary = {
+            "n_docs_in": docs.count(),
+            "n_docs_kept": curated.count(),
+            "n_chunks": int(agg["sum(n_chunks)"]),
+            "n_chunks_kept": int(agg["sum(n_kept)"]),
+            "wall_sec": round(time.time() - t0, 2),
+        }
+        stop_poll.set()
+        print(json.dumps(summary))
+        ray.shutdown()
+        return 0
     if args.spans:
         # near-dup and substring-spans branches overlap after the exact
         # phase (two concurrent streaming executions — see run_full)
