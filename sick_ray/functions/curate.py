@@ -299,7 +299,7 @@ def join_tokens_by_doc(low: np.ndarray, t_start: np.ndarray,
     order (tokenize_hashes_col emits it that way)."""
     kt = np.flatnonzero(tok_mask)
     if len(kt) == 0:
-        return pa.array([""] * n_docs, type=pa.string())
+        return pa.array([""] * n_docs, type=pa.large_string())
     ks, kd = t_start[kt], tdoc[kt]
     lens = (t_end[kt] - ks).astype(np.int64)
     last = np.ones(len(kt), dtype=bool)
@@ -312,11 +312,32 @@ def join_tokens_by_doc(low: np.ndarray, t_start: np.ndarray,
     dst[np.repeat(dst_start, lens) + ragged] = low[np.repeat(ks, lens) + ragged]
     doc_len = np.zeros(n_docs, dtype=np.int64)
     np.add.at(doc_len, kd, out_len)
-    offsets = np.zeros(n_docs + 1, dtype=np.int32)
-    offsets[1:] = doc_len.cumsum().astype(np.int32)
-    return pa.StringArray.from_buffers(
-        n_docs, pa.py_buffer(offsets.tobytes()), pa.py_buffer(dst.tobytes())
+    # int64 offsets (large_string): int32 offsets silently wrap past 2 GiB
+    # of kept text in one batch — plausible for long web documents
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    offsets[1:] = doc_len.cumsum()
+    return pa.Array.from_buffers(
+        pa.large_string(), n_docs,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(dst.tobytes())],
     )
+
+
+def _pack_doc_chunk_key(ids: np.ndarray, cidx: np.ndarray) -> np.ndarray:
+    """Pack (doc id, chunk idx) into one uint64 key: 40 id bits (1e12
+    docs — the 100-TB range) | 24 idx bits (16M chunks = 268M tokens per
+    doc). Out-of-range inputs raise LOUDLY — a wrapped key would silently
+    alias two different chunks and corrupt the dedup (review-confirmed
+    with doc_id = 2^32 before this guard existed)."""
+    if len(ids) and (int(ids.max()) >= 1 << 40 or int(ids.min()) < 0):
+        raise ValueError(
+            "chunk_dedup id column must be in [0, 2^40); got "
+            f"[{ids.min()}, {ids.max()}] — remap ids before deduping"
+        )
+    if len(cidx) and int(cidx.max()) >= 1 << 24:
+        raise ValueError(
+            f"doc has {cidx.max() + 1} chunks (>= 2^24); raise chunk size"
+        )
+    return (ids.astype(np.uint64) << np.uint64(24)) | cidx.astype(np.uint64)
 
 
 def chunk_dedup(ds, chunk: int = 16, id_col: str = "doc_id",
@@ -355,9 +376,7 @@ def chunk_dedup(ds, chunk: int = 16, id_col: str = "doc_id",
         th, offs = tokenize_hashes_col(col)
         ch, cdoc, cidx, _ = chunk_hashes(th, offs, chunk)
         did = batch.column(id_col).to_numpy(zero_copy_only=False)
-        key = (did[cdoc].astype(np.uint64) << np.uint64(32)) | cidx.astype(
-            np.uint64
-        )  # id, cidx < 2^32 (asserted by synth; revisit for 1e10-doc ids)
+        key = _pack_doc_chunk_key(did[cdoc], cidx)
         return pa.table(
             {"ch": pa.array(ch.view(np.int64)),
              "key": pa.array(key.view(np.int64))}
@@ -399,9 +418,7 @@ def chunk_dedup(ds, chunk: int = 16, id_col: str = "doc_id",
             col, return_spans=True
         )
         ch, cdoc, cidx, cstarts = chunk_hashes(th, offs, chunk)
-        keys = (did[cdoc].astype(np.uint64) << np.uint64(32)) | cidx.astype(
-            np.uint64
-        )
+        keys = _pack_doc_chunk_key(did[cdoc], cidx)
         w = ray.get(win_ref)
         pos = np.searchsorted(w, keys)
         np.clip(pos, 0, max(len(w) - 1, 0), out=pos)
@@ -437,3 +454,24 @@ def chunk_dedup(ds, chunk: int = 16, id_col: str = "doc_id",
         )
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def slice_token_strings(low: np.ndarray, starts: np.ndarray,
+                        ends: np.ndarray) -> pa.Array:
+    """One string per (start, end) byte span of the lowercased buffer
+    ``low`` → ``pa.large_string`` array, assembled with a single
+    vectorized ragged copy (the per-element ``.tobytes().decode()`` loop
+    this replaces was 10^5+ Python calls per map task)."""
+    n = len(starts)
+    if n == 0:
+        return pa.array([], type=pa.large_string())
+    lens = (ends - starts).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    offsets[1:] = lens.cumsum()
+    ragged = (np.arange(int(lens.sum()), dtype=np.int64)
+              - np.repeat(offsets[:-1], lens))
+    dst = low[np.repeat(starts.astype(np.int64), lens) + ragged]
+    return pa.Array.from_buffers(
+        pa.large_string(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(dst.tobytes())],
+    )

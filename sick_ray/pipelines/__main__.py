@@ -108,10 +108,10 @@ def main(argv=None) -> int:
             return b.filter(pc.equal(stats.column("gopher_keep"), 1))
 
         def redacted_to_text(b):
-            return b.drop_columns(["n_emails", "n_phones"]).rename_columns(
-                ["text" if c == "redacted" else c for c in
-                 b.drop_columns(["n_emails", "n_phones"]).column_names]
-            )
+            import pyarrow as pa
+
+            return pa.table({args.id_col: b.column(args.id_col),
+                             "text": b.column("redacted")})
 
         chain = (
             docs.map_batches(gopher_filter, batch_format="pyarrow")
@@ -122,18 +122,27 @@ def main(argv=None) -> int:
                               num_partitions=args.partitions).materialize()
         out = os.path.join(args.out_dir, "curated")
         os.makedirs(out, exist_ok=True)
+        # clear stale parts first (the StageRunner convention): a re-run or
+        # a retry after a crash must not leave two generations of
+        # UUID-named files doubling the output
+        import glob as _glob
+
+        for f in _glob.glob(os.path.join(out, "*.parquet")):
+            os.unlink(f)
         curated.write_parquet(out)
         from ray.data.aggregate import Sum
 
         from sick_ray.state.manifest import commit_manifest
 
         commit_manifest(out, "curated", "cli")
-        agg = curated.aggregate(Sum("n_chunks"), Sum("n_kept"))
+        # Sum over an empty dataset yields None — an all-filtered input
+        # must still print the JSON summary, not TypeError
+        agg = curated.aggregate(Sum("n_chunks"), Sum("n_kept")) or {}
         summary = {
             "n_docs_in": docs.count(),
             "n_docs_kept": curated.count(),
-            "n_chunks": int(agg["sum(n_chunks)"]),
-            "n_chunks_kept": int(agg["sum(n_kept)"]),
+            "n_chunks": int(agg.get("sum(n_chunks)") or 0),
+            "n_chunks_kept": int(agg.get("sum(n_kept)") or 0),
             "wall_sec": round(time.time() - t0, 2),
         }
         stop_poll.set()

@@ -1512,6 +1512,7 @@ def q_top_terms(sf_dir: str):
     string forms ride along, and the driver merges only per-partition
     top-k partials — the classic distributed word count with no global
     sort."""
+    from sick_ray.functions.curate import slice_token_strings
     from sick_ray.stages.minhash import tokenize_hashes_col
 
     docs = _read(sf_dir, "documents", columns=["text"])
@@ -1529,13 +1530,10 @@ def q_top_terms(sf_dir: str):
         cnt = np.diff(np.append(starts, len(hs)))
         rep_idx = order[fm]
         if t_start is not None:
-            # one slice per DISTINCT token, straight out of the lowercased
-            # byte buffer the hashes were computed over (no second
-            # tokenization pass over the corpus)
-            rep = [
-                low[t_start[i]:t_end[i]].tobytes().decode("ascii")
-                for i in rep_idx
-            ]
+            # one vectorized ragged copy for ALL distinct tokens, straight
+            # out of the lowercased byte buffer the hashes were computed
+            # over (no second tokenization pass, no per-token Python)
+            rep = slice_token_strings(low, t_start[rep_idx], t_end[rep_idx])
         else:
             # non-ASCII fallback: recover strings with the exact tokenizer
             import re as _re
@@ -1543,11 +1541,12 @@ def q_top_terms(sf_dir: str):
             toks = []
             for t in col.to_pylist():
                 toks.extend(_re.findall(r"[^\W_]+", (t or "").lower()))
-            rep = np.asarray(toks, dtype=object)[rep_idx]
+            rep = pa.array(np.asarray(toks, dtype=object)[rep_idx],
+                           type=pa.large_string())
         return pa.table(
             {
                 "h": pa.array(hs[fm], type=pa.int64()),
-                "token": pa.array(rep, type=pa.string()),
+                "token": rep,
                 "n": pa.array(cnt, type=pa.int64()),
             }
         )
@@ -2293,6 +2292,7 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3):
     shuffle keyed by doc_id whose reduce takes the per-doc top-k with the
     final tie-break applied locally. The classic two-exchange tf-idf; no
     driver state, no global sort."""
+    from sick_ray.functions.curate import slice_token_strings
     from sick_ray.stages.minhash import tokenize_hashes_col
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2315,23 +2315,21 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3):
         tf = np.diff(np.append(starts, len(hs)))
         rep_idx = order[starts]
         if t_start is not None:
-            terms = [
-                low[t_start[i]:t_end[i]].tobytes().decode("ascii")
-                for i in rep_idx
-            ]
+            terms = slice_token_strings(low, t_start[rep_idx], t_end[rep_idx])
         else:
             import re as _re
 
             toks = []
             for t in col.to_pylist():
                 toks.extend(_re.findall(r"[^\W_]+", (t or "").lower()))
-            terms = np.asarray(toks, dtype=object)[rep_idx]
+            terms = pa.array(np.asarray(toks, dtype=object)[rep_idx],
+                             type=pa.large_string())
         return pa.table(
             {
                 "h": pa.array(hs[starts], type=pa.int64()),
                 "did": pa.array(did[ds[starts]], type=pa.int64()),
                 "tf": pa.array(tf, type=pa.int64()),
-                "term": pa.array(terms, type=pa.string()),
+                "term": terms,
             }
         )
 

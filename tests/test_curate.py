@@ -222,3 +222,30 @@ def test_chunk_dedup_drops_duplicate_doc(ray_session, tmp_path):
     assert out.loc[2, "text_kept"] == ""
     assert out.loc[1, "text_kept"] == words
     assert out.loc[3, "n_kept"] == out.loc[3, "n_chunks"] == 1
+
+
+def test_chunk_dedup_large_ids(ray_session, tmp_path):
+    """Review repro: doc_id = 2^32 used to alias doc 0 under the old
+    32/32 key packing (both kept all chunks). The 40/24 split dedupes
+    correctly through the whole id range it admits, and ids outside
+    [0, 2^40) raise loudly instead of corrupting the output."""
+    import pyarrow.parquet as pq
+
+    from sick_ray.functions.curate import _pack_doc_chunk_key
+    from sick_ray.pipelines.queries import q_chunk_dedup_docs
+
+    words = " ".join(f"tok{i}" for i in range(40))
+    tbl = pa.table({
+        "doc_id": pa.array([0, 2**32, 2**39], type=pa.int64()),
+        "text": [words, words, words],
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = (q_chunk_dedup_docs(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[0, "n_kept"] == 3                      # first wins
+    assert out.loc[2**32, "n_kept"] == 0                  # was 3 pre-fix
+    assert out.loc[2**39, "n_kept"] == 0
+    with pytest.raises(ValueError, match=r"2\^40"):
+        _pack_doc_chunk_key(np.array([1 << 40]), np.array([0]))
+    with pytest.raises(ValueError):
+        _pack_doc_chunk_key(np.array([-1]), np.array([0]))
