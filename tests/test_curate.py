@@ -249,3 +249,25 @@ def test_chunk_dedup_large_ids(ray_session, tmp_path):
         _pack_doc_chunk_key(np.array([1 << 40]), np.array([0]))
     with pytest.raises(ValueError):
         _pack_doc_chunk_key(np.array([-1]), np.array([0]))
+
+
+def test_chunk_dedup_empty_and_null_text(ray_session, tmp_path):
+    """Zero-token docs (empty or NULL text) must come out with
+    n_chunks = n_kept = 0 and text_kept = '' — the SQL twin's LEFT JOIN
+    semantics."""
+    import pyarrow.parquet as pq
+
+    from sick_ray.pipelines.queries import q_chunk_dedup_docs
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["hello world tokens here", "", None]),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = (q_chunk_dedup_docs(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1, "n_kept"] == 1
+    for d in (2, 3):
+        assert out.loc[d, "n_chunks"] == 0
+        assert out.loc[d, "n_kept"] == 0
+        assert out.loc[d, "text_kept"] == ""
