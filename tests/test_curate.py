@@ -271,3 +271,69 @@ def test_chunk_dedup_empty_and_null_text(ray_session, tmp_path):
         assert out.loc[d, "n_chunks"] == 0
         assert out.loc[d, "n_kept"] == 0
         assert out.loc[d, "text_kept"] == ""
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.lists(st.integers(min_value=1, max_value=2**63 - 1),
+                      min_size=0, max_size=50), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=7),
+)
+def test_chunk_hashes_property(docs_tokens, size):
+    """chunk_hashes over packed docs == the scalar per-doc polynomial."""
+    from sick_ray.functions.curate import _NGRAM_K, chunk_hashes
+
+    th = np.array([t for d in docs_tokens for t in d], dtype=np.uint64)
+    offs = np.concatenate(
+        [[0], np.cumsum([len(d) for d in docs_tokens])]
+    ).astype(np.int64)
+    ch, cdoc, cidx, cstarts = chunk_hashes(th, offs, size)
+    K = int(_NGRAM_K)
+    want = []
+    for d_i, d in enumerate(docs_tokens):
+        for c_i in range(0, len(d), size):
+            chunk = d[c_i:c_i + size]
+            h = 0
+            for t in chunk:
+                h = (h * K + t) % (1 << 64)
+            want.append((h, d_i, c_i // size))
+    got = list(zip((int(x) for x in ch), cdoc.tolist(), cidx.tolist()))
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                      min_size=0, max_size=10), min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=2**32),
+)
+def test_join_tokens_by_doc_property(docs_tokens, mask_seed):
+    """join_tokens_by_doc == per-doc ' '.join over the masked tokens."""
+    from sick_ray.functions.curate import join_tokens_by_doc
+
+    flat = [t for d in docs_tokens for t in d]
+    buf = " ".join(flat).encode()
+    low = np.frombuffer(buf, dtype=np.uint8).copy()
+    starts, ends, tdoc, pos = [], [], [], 0
+    for d_i, d in enumerate(docs_tokens):
+        for t in d:
+            starts.append(pos)
+            ends.append(pos + len(t))
+            tdoc.append(d_i)
+            pos += len(t) + 1
+    rng = np.random.default_rng(mask_seed)
+    mask = rng.random(len(flat)) < 0.6
+    got = join_tokens_by_doc(
+        low, np.array(starts, dtype=np.int64), np.array(ends, dtype=np.int64),
+        mask, np.array(tdoc, dtype=np.int64), len(docs_tokens)
+    ).to_pylist()
+    k = 0
+    want = []
+    for d in docs_tokens:
+        kept = [t for t in d if mask[(k := k + 1) - 1]]
+        want.append(" ".join(kept))
+    assert got == want
