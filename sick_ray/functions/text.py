@@ -15,7 +15,8 @@ import re
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-from sick_ray.stages.suffix import window_hashes
+from sick_ray.shuffle import first_mask
+from sick_ray.stages.suffix import _concat_docs_col, window_hashes
 
 TOKEN_PATTERN = r"[0-9A-Za-z]+"          # ASCII alnum runs (oracle-parity safe)
 
@@ -147,9 +148,6 @@ def add_winnow_fingerprint(batch: pa.Table, n_mins: int = 8, window: int = 64,
     column's own Arrow buffer, per-doc strided anchor indices built by
     repeat/cumsum, and the per-doc smallest-k via one (doc, hash) sort +
     position-in-group mask — no ``for doc`` loop (round-1 hot spot)."""
-    from sick_ray.shuffle import first_mask
-    from sick_ray.stages.suffix import _concat_docs_col
-
     n = batch.num_rows
     SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
     fp = np.full(n * n_mins, SENT, dtype=np.uint64).reshape(n, n_mins)

@@ -37,6 +37,7 @@ import numpy as np
 import pyarrow as pa
 from sick_ray.shuffle import (assemble_blocks, first_mask, grouped_apply,
                               join_partitions, sort_index)
+from sick_ray.stages.minhash import _string_col_buffers
 from sick_ray.xxh import xxh64_strings
 
 from sick_ray.config import DedupConfig
@@ -135,8 +136,6 @@ def _concat_docs_col(col):
     """Zero-copy (buf, starts, ends) straight from an Arrow string column's
     own UTF-8 buffers — documents are already stored concatenated, so no
     Python encode/join pass ever touches the text."""
-    from sick_ray.stages.minhash import _string_col_buffers
-
     if getattr(col, "null_count", 0):
         import pyarrow.compute as pc
 
