@@ -2512,15 +2512,85 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     embeddings table: per iteration centroids broadcast once, one
     streaming assignment+partial-sum pass, O(k·d) driver fold — the
     iterative-refinement pattern (train_centroids' sample-bounded twin
-    that sees EVERY vector). Rows-only by design: the fixpoint depends on
-    float summation order across blocks, so no SQL oracle; pytest gates
-    it against a single-process numpy Lloyd with the same deterministic
-    init (assignment-identical, centroids allclose) instead."""
+    that sees EVERY vector). The fixpoint's CENTROIDS depend on float
+    summation order across blocks, but the integer ASSIGNMENTS are
+    stable far from cluster boundaries — so the oracle compares
+    assignments only, against a 5-iteration recursive-CTE Lloyd in
+    DuckDB (same init: k lowest vec_ids; same spherical update; same
+    lowest-cluster tie-break). Verified assignment-identical at
+    sf0.001/0.01/0.1; a corpus with points within float noise of a
+    boundary would need a rows-only fallback. pytest additionally gates
+    against a single-process numpy Lloyd (centroids allclose)."""
     from sick_ray.stages.ann import kmeans_lloyd
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     assignments, _cent = kmeans_lloyd(emb, k=k, iters=iters)
     return assignments
+
+
+SQL_KMEANS_EMBEDDINGS = """
+WITH RECURSIVE
+pts AS (  -- unit-normalized points, long format
+  SELECT vec_id, i - 1 AS dim,
+         CAST(embedding[i] AS DOUBLE)
+           / greatest(sqrt((SELECT sum(CAST(e2.x * e2.x AS DOUBLE))
+                            FROM unnest(embedding) AS e2(x))), 1e-12) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+init AS (  -- k lowest vec_ids as initial centroids
+  SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS c, dim, v AS cv
+  FROM pts
+  WHERE vec_id IN (SELECT DISTINCT vec_id FROM pts ORDER BY vec_id LIMIT 8)
+),
+iter(it, c, dim, cv) AS (
+  SELECT 0, c, dim, cv FROM init
+  UNION ALL
+  SELECT it + 1, c, dim, cv FROM (
+    WITH cur AS (SELECT * FROM iter WHERE it < 5),
+    dots AS (
+      SELECT cur.it, p.vec_id, cur.c, sum(p.v * cur.cv) AS dot
+      FROM pts p JOIN cur ON p.dim = cur.dim
+      GROUP BY 1, 2, 3
+    ),
+    assign AS (
+      SELECT it, vec_id, c FROM (
+        SELECT it, vec_id, c,
+               row_number() OVER (PARTITION BY it, vec_id
+                                  ORDER BY dot DESC, c ASC) AS rk
+        FROM dots
+      ) WHERE rk = 1
+    ),
+    sums AS (
+      SELECT a.it, a.c, p.dim, sum(p.v) AS s
+      FROM assign a JOIN pts p USING (vec_id)
+      GROUP BY 1, 2, 3
+    ),
+    norms AS (
+      SELECT it, c, sqrt(sum(s * s)) AS nrm FROM sums GROUP BY 1, 2
+    ),
+    newc AS (
+      SELECT s.it, s.c, s.dim,
+             CASE WHEN n.nrm > 0 THEN s.s / n.nrm ELSE NULL END AS cv
+      FROM sums s JOIN norms n USING (it, c)
+    )
+    -- empty clusters keep the previous centroid
+    SELECT cur.it, cur.c, cur.dim, coalesce(newc.cv, cur.cv) AS cv
+    FROM cur LEFT JOIN newc ON newc.it = cur.it AND newc.c = cur.c
+                            AND newc.dim = cur.dim
+  )
+),
+final_c AS (SELECT c, dim, cv FROM iter WHERE it = 5),
+final_dots AS (
+  SELECT p.vec_id, f.c, sum(p.v * f.cv) AS dot
+  FROM pts p JOIN final_c f ON p.dim = f.dim
+  GROUP BY 1, 2
+)
+SELECT vec_id, c AS cluster FROM (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rk
+  FROM final_dots
+) WHERE rk = 1
+"""
 
 
 SQL_TFIDF_TOP_TERMS = """
@@ -2654,10 +2724,11 @@ ORACLES = {
     "chunk_dedup_docs": SQL_CHUNK_DEDUP_DOCS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "curated_corpus": SQL_CURATED_CORPUS,
+    "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
     # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
-    # embedding_near_dup / media_decode / kmeans_embeddings: not
-    # SQL-expressible (content-addressed ids, spans drift, LSH/IVF
-    # approximation, fake-decode plumbing, float-order-dependent
-    # fixpoint) → rows-only checks; each is gated by a pytest oracle
-    # (recall vs brute, golden tables, or a second implementation).
+    # embedding_near_dup / media_decode: not SQL-expressible
+    # (content-addressed ids, spans drift, LSH/IVF approximation,
+    # fake-decode plumbing) → rows-only checks; each is gated by a
+    # pytest oracle (recall vs brute, golden tables, or a second
+    # implementation).
 }
