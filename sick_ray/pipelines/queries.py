@@ -832,7 +832,10 @@ def q_knn_lsh_embeddings(sf_dir: str):
 
 def q_knn_ivf_embeddings(sf_dir: str):
     """IVF-partitioned ANN (coarse quantizer + inverted-list probe — the
-    corpus-pruning scale path; recall vs brute gated in tests)."""
+    corpus-pruning scale path). GENUINELY approximate even at driver
+    scale (nprobe=6/16 misses tail-rank true neighbors — measured 6/10
+    agreement with brute at sf0.01), so rows-only by design with a loud
+    under-k guard; recall is gated in tests at clustered configs."""
     import pyarrow.parquet as pq
 
     from sick_ray.stages.ann import knn_ivf
@@ -844,7 +847,13 @@ def q_knn_ivf_embeddings(sf_dir: str):
         .to_pylist()[0]
     )
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return knn_ivf(ds, np.asarray([emb0]), k=10, n_centroids=16, nprobe=6)
+    out = knn_ivf(ds, np.asarray([emb0]), k=10, n_centroids=16, nprobe=6)
+    if out.num_rows < 10:
+        raise RuntimeError(
+            f"knn_ivf returned {out.num_rows} rows < k=10 — probed lists "
+            "collapsed; raise nprobe"
+        )
+    return out.select(["vec_id", "rank"])
 
 
 def q_events_sliding_window(sf_dir: str):
