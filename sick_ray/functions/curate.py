@@ -316,9 +316,11 @@ def join_tokens_by_doc(low: np.ndarray, t_start: np.ndarray,
     # of kept text in one batch — plausible for long web documents
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     offsets[1:] = doc_len.cumsum()
+    # py_buffer over the ndarrays directly (buffer protocol, keeps them
+    # alive) — .tobytes() would duplicate both buffers per call
     return pa.Array.from_buffers(
         pa.large_string(), n_docs,
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(dst.tobytes())],
+        [None, pa.py_buffer(offsets), pa.py_buffer(dst)],
     )
 
 
@@ -443,7 +445,9 @@ def chunk_dedup(ds, chunk: int = 16, id_col: str = "doc_id",
                 toks = _re.findall(r"[^\W_]+", (t or "").lower())
                 kept = [tok for tok in toks if tok_kept[(t_i := t_i + 1) - 1]]
                 out.append(" ".join(kept))
-            text_kept = pa.array(out, type=pa.string())
+            # large_string to match the fast path — mixed-schema blocks
+            # (ASCII batches fast, non-ASCII batches fallback) must unify
+            text_kept = pa.array(out, type=pa.large_string())
         return pa.table(
             {
                 id_col: batch.column(id_col),
@@ -473,5 +477,5 @@ def slice_token_strings(low: np.ndarray, starts: np.ndarray,
     dst = low[np.repeat(starts.astype(np.int64), lens) + ragged]
     return pa.Array.from_buffers(
         pa.large_string(), n,
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(dst.tobytes())],
+        [None, pa.py_buffer(offsets), pa.py_buffer(dst)],
     )

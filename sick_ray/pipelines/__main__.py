@@ -122,11 +122,16 @@ def main(argv=None) -> int:
                               num_partitions=args.partitions).materialize()
         out = os.path.join(args.out_dir, "curated")
         os.makedirs(out, exist_ok=True)
-        # clear stale parts first (the StageRunner convention): a re-run or
-        # a retry after a crash must not leave two generations of
-        # UUID-named files doubling the output
+        # clear the stale MANIFEST first, then stale parts: if this run
+        # crashes between the unlinks and commit_manifest, the directory
+        # must read as INCOMPLETE — a surviving old manifest over a
+        # destroyed part set would satisfy skip-if-done checks with empty
+        # data (the constant 'cli' input_fp encodes nothing to catch it)
         import glob as _glob
 
+        mpath = os.path.join(out, "_MANIFEST.json")
+        if os.path.exists(mpath):
+            os.unlink(mpath)
         for f in _glob.glob(os.path.join(out, "*.parquet")):
             os.unlink(f)
         curated.write_parquet(out)

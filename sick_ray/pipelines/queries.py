@@ -2542,7 +2542,7 @@ WITH RECURSIVE
 pts AS (  -- unit-normalized points, long format
   SELECT vec_id, i - 1 AS dim,
          CAST(embedding[i] AS DOUBLE)
-           / greatest(sqrt((SELECT sum(CAST(e2.x * e2.x AS DOUBLE))
+           / greatest(sqrt((SELECT sum(CAST(e2.x AS DOUBLE) * CAST(e2.x AS DOUBLE))
                             FROM unnest(embedding) AS e2(x))), 1e-12) AS v
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
 ),

@@ -337,3 +337,24 @@ def test_join_tokens_by_doc_property(docs_tokens, mask_seed):
         kept = [t for t in d if mask[(k := k + 1) - 1]]
         want.append(" ".join(kept))
     assert got == want
+
+
+def test_chunk_dedup_mixed_ascii_nonascii(ray_session, tmp_path):
+    """A corpus mixing all-ASCII batches (fast span path, large_string)
+    with a non-ASCII doc (regex fallback) must still unify into one
+    schema — the fallback used to emit plain string and Ray's schema
+    unification failed on materialize."""
+    import pyarrow.parquet as pq
+
+    from sick_ray.pipelines.queries import q_chunk_dedup_docs
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": ["plain ascii words here", "naïve café text über tokens"],
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = q_chunk_dedup_docs(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "text_kept"] == "plain ascii words here"
+    # the Unicode tokenizer lowercases and keeps letter runs
+    assert "caf" in out.loc[2, "text_kept"]
+    assert out.loc[2, "n_kept"] == 1
