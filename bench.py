@@ -132,7 +132,7 @@ def run_bench() -> dict:
         "exact_dedup_docs", "knn_embeddings", "simhash_docs",
         "gopher_repetition", "decontaminate_docs",
         "chunk_dedup_docs", "tfidf_top_terms", "kmeans_embeddings",
-        "curated_corpus",
+        "curated_corpus", "events_user_hll",
     ):
         t = time.time()
         out = QUERIES[name](SF_DIR)

@@ -2516,6 +2516,187 @@ FROM red r LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_events_distinct_users(sf_dir: str):
+    """EXACT per-event-type distinct-user counts — the shuffle-heavy twin
+    the HLL sketch (q_events_user_hll) avoids: per-batch distinct
+    (event_type, user_id) pairs ride one hash shuffle, the reduce
+    double-distincts and emits per-type partial counts, and the driver
+    folds a handful of rows."""
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        code = pc.index_in(et, pc.unique(et)).to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, code))
+        fm = first_mask(code[order] * (1 << 40) + uid[order])
+        keep = order[fm]
+        return pa.table({
+            "event_type": et.take(pa.array(keep)),
+            "user_id": pa.array(uid[keep], type=pa.int64()),
+        })
+
+    def count_partition(part: pa.Table) -> pa.Table:
+        et = np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, et))
+        et_s, uid_s = et[order], uid[order]
+        fm = np.ones(len(et_s), dtype=bool)
+        if len(et_s) > 1:
+            fm[1:] = (et_s[1:] != et_s[:-1]) | (uid_s[1:] != uid_s[:-1])
+        et_d = et_s[fm]
+        tfm = np.ones(len(et_d), dtype=bool)
+        if len(et_d) > 1:
+            tfm[1:] = et_d[1:] != et_d[:-1]
+        starts = np.flatnonzero(tfm)
+        cnt = np.diff(np.append(starts, len(et_d)))
+        return pa.table({
+            "event_type": pa.array(et_d[tfm], type=pa.string()),
+            "n_users": pa.array(cnt, type=pa.int64()),
+        })
+
+    parts = grouped_apply(
+        ev.map_batches(pair_rows, batch_format="pyarrow"),
+        ["event_type", "user_id"], count_partition,
+        num_partitions=QCFG.num_partitions,
+    ).to_pandas()
+    g = parts.groupby("event_type", as_index=False)["n_users"].sum()
+    return pa.Table.from_pandas(g.sort_values("event_type"),
+                                preserve_index=False)
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_user_hll(sf_dir: str, p: int = 14):
+    """APPROXIMATE per-event-type distinct users via HyperLogLog — the
+    100-TB path: user ids NEVER shuffle; each batch emits one 2^p-byte
+    register array per event type, merged by elementwise max. Standard
+    error 1.04/sqrt(2^p) ≈ 0.8% at p=14. Rows-only by design (the
+    estimate is within an error envelope, not equal); pytest gates it
+    against the exact twin q_events_distinct_users."""
+    from sick_ray.functions.sketch import hll_batch_registers, hll_merge_estimate
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        uniq = pc.unique(et)
+        code = pc.index_in(et, uniq).to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        regs = hll_batch_registers(code.astype(np.int64), len(uniq),
+                                   uid.astype(np.uint64), p)
+        return pa.table({
+            "event_type": uniq,
+            "regs": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(m), len(uniq), [None, pa.py_buffer(regs)]
+            ),
+        })
+
+    def merge(part: pa.Table) -> pa.Table:
+        et = np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        raw = part.column("regs").combine_chunks()
+        mat = np.frombuffer(raw.buffers()[1], dtype=np.uint8,
+                            count=len(et) * m).reshape(len(et), m)
+        order = np.argsort(et, kind="stable")
+        et_s = et[order]
+        fm = np.ones(len(et_s), dtype=bool)
+        if len(et_s) > 1:
+            fm[1:] = et_s[1:] != et_s[:-1]
+        starts = np.flatnonzero(fm)
+        out_et, out_n = [], []
+        for i, s0 in enumerate(starts):
+            s1 = starts[i + 1] if i + 1 < len(starts) else len(et_s)
+            merged = np.maximum.reduce(mat[order[s0:s1]])
+            out_et.append(et_s[s0])
+            out_n.append(hll_merge_estimate(merged))
+        return pa.table({
+            "event_type": pa.array(out_et, type=pa.string()),
+            "approx_users": pa.array(out_n, type=pa.int64()),
+        })
+
+    return grouped_apply(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], merge, num_partitions=QCFG.num_partitions,
+    )
+
+
+def q_top_terms_mg(sf_dir: str, cap: int = 4096):
+    """APPROXIMATE corpus top-20 terms via mergeable Misra-Gries
+    summaries — the 100-TB path: each batch's exact counts compress to
+    ≤ ``cap`` counters (subtract the (cap+1)-th largest, drop ≤0), so
+    the shuffle carries at most cap rows per batch no matter how large
+    the batch vocabulary is. Summed counters under-count any term by at
+    most N_tokens/(cap+1); every term with true count above that bound
+    is guaranteed present. Rows-only by design; pytest gates membership
+    and the error bound against the exact q_top_terms."""
+    from sick_ray.functions.curate import slice_token_strings
+    from sick_ray.functions.sketch import mg_compress_counts
+    from sick_ray.stages.minhash import tokenize_hashes_col
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def partial_mg(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        th, _offs, t_start, t_end, low = tokenize_hashes_col(
+            col, return_spans=True
+        )
+        h = th.view(np.int64)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        fm = first_mask(hs)
+        starts = np.flatnonzero(fm)
+        cnt = np.diff(np.append(starts, len(hs)))
+        adj, _off = mg_compress_counts(cnt, cap)
+        keep = adj > 0
+        rep_idx = order[fm][keep]
+        if t_start is not None:
+            toks = slice_token_strings(low, t_start[rep_idx], t_end[rep_idx])
+        else:
+            import re as _re
+
+            all_toks = []
+            for t in col.to_pylist():
+                all_toks.extend(_re.findall(r"[^\W_]+", (t or "").lower()))
+            toks = pa.array(np.asarray(all_toks, dtype=object)[rep_idx],
+                            type=pa.large_string())
+        return pa.table({
+            "h": pa.array(hs[fm][keep], type=pa.int64()),
+            "token": toks,
+            "n": pa.array(adj[keep], type=pa.int64()),
+        })
+
+    def reduce_topk(part: pa.Table) -> pa.Table:
+        h = part.column("h").to_numpy(zero_copy_only=False)
+        n = part.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs, ns = h[order], n[order]
+        fm = first_mask(hs)
+        starts = np.flatnonzero(fm)
+        tot = np.add.reduceat(ns, starts)
+        toks = part.column("token").take(pa.array(order[fm]))
+        toks_np = np.asarray(toks.to_pylist(), dtype=object)
+        top = np.lexsort((toks_np, -tot))[:min(20, len(tot))]
+        return pa.table({
+            "token": toks.take(pa.array(top)),
+            "n": pa.array(tot[top], type=pa.int64()),
+        })
+
+    parts = grouped_apply(
+        docs.map_batches(partial_mg, batch_format="pyarrow"),
+        ["h"], reduce_topk, num_partitions=QCFG.num_partitions,
+    ).to_pandas()
+    parts = parts.sort_values(["n", "token"], ascending=[False, True]).head(20)
+    return pa.Table.from_pandas(parts.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     """Full-corpus distributed k-means (spherical Lloyd) over the
     embeddings table: per iteration centroids broadcast once, one
@@ -2678,6 +2859,9 @@ QUERIES = {
     "chunk_dedup_docs": q_chunk_dedup_docs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "events_distinct_users": q_events_distinct_users,
+    "events_user_hll": q_events_user_hll,
+    "top_terms_mg": q_top_terms_mg,
     "curated_corpus": q_curated_corpus,
 }
 
@@ -2734,6 +2918,7 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "curated_corpus": SQL_CURATED_CORPUS,
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
+    "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
     # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
     # embedding_near_dup / media_decode: not SQL-expressible
     # (content-addressed ids, spans drift, LSH/IVF approximation,

@@ -332,3 +332,41 @@ def test_kmeans_lloyd_matches_local_reference(ray_session):
     assert (got["cluster"].to_numpy() == ref_a).all()
     assert np.allclose(cent, c, atol=1e-8)
     assert len(np.unique(ref_a)) > 1          # the clustering is non-trivial
+
+
+def test_hll_within_error_envelope(ray_session):
+    """HLL distinct-user estimates within 3 sigma (~2.5% at p=14) of the
+    exact twin, per event type."""
+    from sick_ray.pipelines.queries import q_events_distinct_users, q_events_user_hll
+
+    sf = "/root/testdata/sf0.01"
+    exact = q_events_distinct_users(sf).to_pandas().set_index("event_type")
+    hll = q_events_user_hll(sf).to_pandas().set_index("event_type")
+    assert set(exact.index) == set(hll.index)
+    rel = (hll["approx_users"] - exact["n_users"]).abs() / exact["n_users"]
+    assert float(rel.max()) < 0.025, rel.to_dict()
+
+
+def test_mg_top_terms_bound(ray_session):
+    """Misra-Gries: with the default cap the tiny synth vocabulary never
+    triggers compression (result == exact top-20); with a cap that BITES
+    every kept counter under-estimates by at most N_tokens/(cap+1) and
+    the heavy terms survive."""
+    from sick_ray.pipelines.queries import q_top_terms, q_top_terms_mg
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_top_terms(sf).to_pandas()
+    mg = q_top_terms_mg(sf).to_pandas()
+    pd.testing.assert_frame_equal(
+        mg.reset_index(drop=True), exact.reset_index(drop=True),
+        check_dtype=False,
+    )
+    # force compression: cap=8 counters per batch
+    small = q_top_terms_mg(sf, cap=8).to_pandas().set_index("token")
+    ex = exact.set_index("token")
+    n_tokens = int(ex["n"].sum()) * 10  # top-20 is a lower bound on N; be lax
+    present = [t for t in ex.index[:5] if t in small.index]
+    assert len(present) >= 3, "heavy terms lost under compression"
+    for t in present:
+        assert small.loc[t, "n"] <= ex.loc[t, "n"]          # under-estimates
+        assert ex.loc[t, "n"] - small.loc[t, "n"] <= n_tokens / 9
