@@ -101,3 +101,43 @@ def mg_compress_counts(counts: np.ndarray, cap: int) -> tuple[np.ndarray, int]:
     adj = counts - kth
     adj[adj < 0] = 0
     return adj, int(kth)
+
+
+# ------------------------------------------------------------ Bloom filter
+
+def bloom_params(n_keys: int, bits_per_key: int = 10) -> tuple[int, int]:
+    """(m_bits rounded to a byte multiple, k hash functions) for ~1%
+    false positives at 10 bits/key (k = round(m/n * ln 2))."""
+    m = max(64, n_keys * bits_per_key)
+    m = (m + 7) // 8 * 8
+    k = max(1, int(round(m / max(n_keys, 1) * 0.6931)))
+    return m, min(k, 8)
+
+
+def _bloom_positions(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(len(keys) * k) bit positions via double hashing h1 + i*h2
+    (Kirsch & Mitzenmacher 2006: two mixes suffice for k functions)."""
+    u = keys.astype(np.uint64)
+    h1 = mix64(u)
+    h2 = mix64(u ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m)).reshape(-1).astype(np.int64)
+
+
+def bloom_build(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    """uint8 bitmap (m/8 bytes) with all of ``keys`` inserted —
+    vectorized; partial bitmaps from disjoint key sets merge with |."""
+    pos = _bloom_positions(keys, m, k)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits
+
+
+def bloom_contains(bits: np.ndarray, keys: np.ndarray, k: int) -> np.ndarray:
+    """Boolean membership mask (true = POSSIBLY present — ~1% false
+    positives at 10 bits/key; never false negatives)."""
+    m = len(bits) * 8
+    pos = _bloom_positions(keys, m, k).reshape(len(keys), k)
+    hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return hit.all(axis=1)

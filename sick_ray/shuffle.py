@@ -135,16 +135,60 @@ BROADCAST_KEYS_LIMIT = 2_000_000
 
 
 def semi_select(input_ds, keys_ds, on: str, num_partitions: int,
-                n_keys_hint: int | None = None):
+                n_keys_hint: int | None = None,
+                bloom_prefilter: bool = True):
     """Keep input rows whose ``on`` value appears in ``keys_ds`` —
     broadcast filter under BROADCAST_KEYS_LIMIT keys (the wide payload
-    never moves), LEFT SEMI hash join above it (nothing driver-sized)."""
+    never moves), LEFT SEMI hash join above it (nothing driver-sized).
+
+    ``bloom_prefilter``: on the join path, an in-cluster Bloom bitmap
+    over the keys (10 bits/key ≈ 1% false positives, Kirsch-Mitzenmacher
+    double hashing) filters the wide input BEFORE the shuffle — at low
+    selectivity the join then moves ~1% of the corpus instead of all of
+    it; exactness comes from the left-semi join over the survivors
+    (Bloom has no false negatives). Requires an int64-compatible key
+    column (falls back to the plain join otherwise)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
 
     n_keys = keys_ds.count() if n_keys_hint is None else n_keys_hint
     if n_keys > BROADCAST_KEYS_LIMIT:
+        key_type = None
+        try:
+            key_type = keys_ds.schema().base_schema.field(on).type
+        except Exception:
+            pass
+        if bloom_prefilter and key_type is not None and pa.types.is_integer(
+            key_type
+        ):
+            from sick_ray.functions.sketch import (
+                bloom_build,
+                bloom_contains,
+                bloom_params,
+            )
+
+            m, k = bloom_params(n_keys)
+
+            # built IN-cluster from the key dataset's own block refs (one
+            # task; at real 100-TB key counts this becomes a tree of
+            # per-block partial bitmaps OR-combined — bitmaps merge by |)
+            def finalize_bloom(tbl: pa.Table):
+                keys = tbl.column(on).to_numpy(zero_copy_only=False)
+                return bloom_build(keys, m, k)
+
+            bits_ref = assemble_blocks(
+                keys_ds, [on], finalize_bloom, empty=None
+            )
+
+            def prefilter(batch: pa.Table) -> pa.Table:
+                bits = ray.get(bits_ref)
+                if bits is None:
+                    return batch.slice(0, 0)
+                vals = batch.column(on).to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(bloom_contains(bits, vals, k)))
+
+            input_ds = input_ds.map_batches(prefilter, batch_format="pyarrow")
         return input_ds.join(
             keys_ds,
             join_type="left_semi",

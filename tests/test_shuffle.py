@@ -60,3 +60,34 @@ def test_suffix_array_property(data):
     sa = suffix_array(s)
     want = sorted(range(len(data)), key=lambda i: data[i:])
     assert sa.tolist() == want
+
+
+def test_semi_select_paths_agree(ray_session, monkeypatch):
+    """Broadcast path, plain join path, and bloom-prefiltered join path
+    must select the identical row set; the bloom pre-filter must never
+    drop a true match (no false negatives)."""
+    import ray.data as rd
+
+    import sick_ray.shuffle as sh
+
+    rng = np.random.default_rng(11)
+    inp = pa.table({
+        "fp": pa.array(rng.permutation(np.arange(5000)), type=pa.int64()),
+        "payload": pa.array([f"p{i}" for i in range(5000)]),
+    })
+    keys = pa.table({"fp": pa.array(np.arange(0, 5000, 7), type=pa.int64())})
+    input_ds = rd.from_arrow(inp)
+    keys_ds = rd.from_arrow(keys)
+
+    want = set(range(0, 5000, 7))
+
+    got_bcast = sh.semi_select(input_ds, keys_ds, "fp", 4).to_pandas()
+    assert set(got_bcast["fp"]) == want
+
+    monkeypatch.setattr(sh, "BROADCAST_KEYS_LIMIT", 10)   # force join path
+    got_bloom = sh.semi_select(input_ds, keys_ds, "fp", 4).to_pandas()
+    assert set(got_bloom["fp"]) == want
+    got_plain = sh.semi_select(
+        input_ds, keys_ds, "fp", 4, bloom_prefilter=False
+    ).to_pandas()
+    assert set(got_plain["fp"]) == want
