@@ -27,11 +27,13 @@ All kernels are vectorized numpy over Arrow batches; no per-row Python.
 from __future__ import annotations
 
 import numpy as np
-import pyarrow as pa
 
-from sick_ray.shuffle import first_mask, mix64
+from sick_ray.shuffle import mix64
 
 __all__ = [
+    "bloom_build",
+    "bloom_contains",
+    "bloom_params",
     "clz64",
     "hll_batch_registers",
     "hll_merge_estimate",

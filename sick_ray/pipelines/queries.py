@@ -1514,14 +1514,17 @@ def q_ngram_allpairs_capped(sf_dir: str, df_cap: int = 32,
     )
 
 
-def q_top_terms(sf_dir: str):
-    """Corpus-wide term frequency top-20: vectorized per-batch token
+def _top_terms_impl(sf_dir: str, cap: int | None, k_out: int = 20):
+    """Shared distributed word-count top-k: vectorized per-batch token
     counting (tokenize_hashes byte path) feeding a hash-partitioned count
     shuffle keyed by the token HASH (narrow rows); the winning hashes'
     string forms ride along, and the driver merges only per-partition
-    top-k partials — the classic distributed word count with no global
-    sort."""
+    top-k partials. ``cap=None`` → exact counts; otherwise each batch's
+    counts are Misra-Gries-compressed to ≤ cap counters before the
+    shuffle (one code path for the exact query and its sketch twin, so a
+    tie-break or tokenizer fix can never drift between them)."""
     from sick_ray.functions.curate import slice_token_strings
+    from sick_ray.functions.sketch import mg_compress_counts
     from sick_ray.stages.minhash import tokenize_hashes_col
 
     docs = _read(sf_dir, "documents", columns=["text"])
@@ -1537,7 +1540,10 @@ def q_top_terms(sf_dir: str):
         fm = first_mask(hs)
         starts = np.flatnonzero(fm)
         cnt = np.diff(np.append(starts, len(hs)))
-        rep_idx = order[fm]
+        if cap is not None:
+            cnt, _off = mg_compress_counts(cnt, cap)
+        keep = cnt > 0
+        rep_idx = order[fm][keep]
         if t_start is not None:
             # one vectorized ragged copy for ALL distinct tokens, straight
             # out of the lowercased byte buffer the hashes were computed
@@ -1554,9 +1560,9 @@ def q_top_terms(sf_dir: str):
                            type=pa.large_string())
         return pa.table(
             {
-                "h": pa.array(hs[fm], type=pa.int64()),
+                "h": pa.array(hs[fm][keep], type=pa.int64()),
                 "token": rep,
-                "n": pa.array(cnt, type=pa.int64()),
+                "n": pa.array(cnt[keep], type=pa.int64()),
             }
         )
 
@@ -1569,12 +1575,12 @@ def q_top_terms(sf_dir: str):
         starts = np.flatnonzero(fm)
         tot = np.add.reduceat(ns, starts)
         toks = part.column("token").take(pa.array(order[fm]))
-        k = min(20, len(tot))
+        kk = min(k_out, len(tot))
         # per-partition top-k with the FINAL tie-break applied locally
         # ((-n, token asc)): a count-only argpartition can keep the wrong
         # token when counts tie exactly at the k boundary
         toks_np = np.asarray(toks.to_pylist(), dtype=object)
-        top = np.lexsort((toks_np, -tot))[:k]
+        top = np.lexsort((toks_np, -tot))[:kk]
         return pa.table(
             {
                 "token": toks.take(pa.array(top)),
@@ -1588,8 +1594,13 @@ def q_top_terms(sf_dir: str):
         reduce_topk,
         num_partitions=8,
     ).to_pandas()
-    out = parts.sort_values(["n", "token"], ascending=[False, True]).head(20)
+    out = parts.sort_values(["n", "token"], ascending=[False, True]).head(k_out)
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def q_top_terms(sf_dir: str):
+    """Corpus-wide term frequency top-20, EXACT — see _top_terms_impl."""
+    return _top_terms_impl(sf_dir, cap=None)
 
 
 SQL_TOP_TERMS = """
@@ -2529,7 +2540,13 @@ def q_events_distinct_users(sf_dir: str):
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
         code = pc.index_in(et, pc.unique(et)).to_numpy(zero_copy_only=False)
         order = np.lexsort((uid, code))
-        fm = first_mask(code[order] * (1 << 40) + uid[order])
+        # two-array boundary compare — a packed code*K+uid key collides
+        # for |uid| ≥ K (64-bit / negative ids) and int32*py-int promotion
+        # raises under numpy ≥ 2
+        c_s, u_s = code[order], uid[order]
+        fm = np.ones(len(c_s), dtype=bool)
+        if len(c_s) > 1:
+            fm[1:] = (c_s[1:] != c_s[:-1]) | (u_s[1:] != u_s[:-1])
         keep = order[fm]
         return pa.table({
             "event_type": et.take(pa.array(keep)),
@@ -2633,68 +2650,9 @@ def q_top_terms_mg(sf_dir: str, cap: int = 4096):
     the batch vocabulary is. Summed counters under-count any term by at
     most N_tokens/(cap+1); every term with true count above that bound
     is guaranteed present. Rows-only by design; pytest gates membership
-    and the error bound against the exact q_top_terms."""
-    from sick_ray.functions.curate import slice_token_strings
-    from sick_ray.functions.sketch import mg_compress_counts
-    from sick_ray.stages.minhash import tokenize_hashes_col
-
-    docs = _read(sf_dir, "documents", columns=["text"])
-
-    def partial_mg(batch: pa.Table) -> pa.Table:
-        col = batch.column("text")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        th, _offs, t_start, t_end, low = tokenize_hashes_col(
-            col, return_spans=True
-        )
-        h = th.view(np.int64)
-        order = np.argsort(h, kind="stable")
-        hs = h[order]
-        fm = first_mask(hs)
-        starts = np.flatnonzero(fm)
-        cnt = np.diff(np.append(starts, len(hs)))
-        adj, _off = mg_compress_counts(cnt, cap)
-        keep = adj > 0
-        rep_idx = order[fm][keep]
-        if t_start is not None:
-            toks = slice_token_strings(low, t_start[rep_idx], t_end[rep_idx])
-        else:
-            import re as _re
-
-            all_toks = []
-            for t in col.to_pylist():
-                all_toks.extend(_re.findall(r"[^\W_]+", (t or "").lower()))
-            toks = pa.array(np.asarray(all_toks, dtype=object)[rep_idx],
-                            type=pa.large_string())
-        return pa.table({
-            "h": pa.array(hs[fm][keep], type=pa.int64()),
-            "token": toks,
-            "n": pa.array(adj[keep], type=pa.int64()),
-        })
-
-    def reduce_topk(part: pa.Table) -> pa.Table:
-        h = part.column("h").to_numpy(zero_copy_only=False)
-        n = part.column("n").to_numpy(zero_copy_only=False)
-        order = np.argsort(h, kind="stable")
-        hs, ns = h[order], n[order]
-        fm = first_mask(hs)
-        starts = np.flatnonzero(fm)
-        tot = np.add.reduceat(ns, starts)
-        toks = part.column("token").take(pa.array(order[fm]))
-        toks_np = np.asarray(toks.to_pylist(), dtype=object)
-        top = np.lexsort((toks_np, -tot))[:min(20, len(tot))]
-        return pa.table({
-            "token": toks.take(pa.array(top)),
-            "n": pa.array(tot[top], type=pa.int64()),
-        })
-
-    parts = grouped_apply(
-        docs.map_batches(partial_mg, batch_format="pyarrow"),
-        ["h"], reduce_topk, num_partitions=QCFG.num_partitions,
-    ).to_pandas()
-    parts = parts.sort_values(["n", "token"], ascending=[False, True]).head(20)
-    return pa.Table.from_pandas(parts.reset_index(drop=True),
-                                preserve_index=False)
+    and the error bound against the exact q_top_terms (both are the SAME
+    _top_terms_impl code path, cap switched)."""
+    return _top_terms_impl(sf_dir, cap=cap)
 
 
 def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):

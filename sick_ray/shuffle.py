@@ -146,8 +146,9 @@ def semi_select(input_ds, keys_ds, on: str, num_partitions: int,
     double hashing) filters the wide input BEFORE the shuffle — at low
     selectivity the join then moves ~1% of the corpus instead of all of
     it; exactness comes from the left-semi join over the survivors
-    (Bloom has no false negatives). Requires an int64-compatible key
-    column (falls back to the plain join otherwise)."""
+    (Bloom has no false negatives). Integer keys hash directly; string
+    keys hash via xxh64 on both sides; other key types fall back to the
+    plain join."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
@@ -159,23 +160,35 @@ def semi_select(input_ds, keys_ds, on: str, num_partitions: int,
             key_type = keys_ds.schema().base_schema.field(on).type
         except Exception:
             pass
-        if bloom_prefilter and key_type is not None and pa.types.is_integer(
-            key_type
-        ):
+        hashable = key_type is not None and (
+            pa.types.is_integer(key_type) or pa.types.is_string(key_type)
+            or pa.types.is_large_string(key_type)
+        )
+        if bloom_prefilter and hashable:
             from sick_ray.functions.sketch import (
                 bloom_build,
                 bloom_contains,
                 bloom_params,
             )
+            from sick_ray.xxh import xxh64_strings
 
             m, k = bloom_params(n_keys)
+            is_str = not pa.types.is_integer(key_type)
+            # consumed by the bloom build AND the join: a lazy keys
+            # pipeline would otherwise re-execute per consumer
+            keys_ds = keys_ds.materialize()
+
+            def key_ints(col) -> "np.ndarray":
+                if is_str:
+                    return xxh64_strings(col).view("int64")
+                return col.to_numpy(zero_copy_only=False)
 
             # built IN-cluster from the key dataset's own block refs (one
             # task; at real 100-TB key counts this becomes a tree of
             # per-block partial bitmaps OR-combined — bitmaps merge by |)
             def finalize_bloom(tbl: pa.Table):
-                keys = tbl.column(on).to_numpy(zero_copy_only=False)
-                return bloom_build(keys, m, k)
+                return bloom_build(key_ints(tbl.column(on).combine_chunks()),
+                                   m, k)
 
             bits_ref = assemble_blocks(
                 keys_ds, [on], finalize_bloom, empty=None
@@ -185,7 +198,7 @@ def semi_select(input_ds, keys_ds, on: str, num_partitions: int,
                 bits = ray.get(bits_ref)
                 if bits is None:
                     return batch.slice(0, 0)
-                vals = batch.column(on).to_numpy(zero_copy_only=False)
+                vals = key_ints(batch.column(on).combine_chunks())
                 return batch.filter(pa.array(bloom_contains(bits, vals, k)))
 
             input_ds = input_ds.map_batches(prefilter, batch_format="pyarrow")

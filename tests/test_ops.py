@@ -364,7 +364,13 @@ def test_mg_top_terms_bound(ray_session):
     # force compression: cap=8 counters per batch
     small = q_top_terms_mg(sf, cap=8).to_pandas().set_index("token")
     ex = exact.set_index("token")
-    n_tokens = int(ex["n"].sum()) * 10  # top-20 is a lower bound on N; be lax
+    # the TRUE corpus token count makes the N/(cap+1) bound exact, not lax
+    import duckdb
+
+    n_tokens = duckdb.sql(
+        "SELECT sum(len(regexp_extract_all(lower(text), '[0-9a-z]+'))) "
+        f"FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()[0]
     present = [t for t in ex.index[:5] if t in small.index]
     assert len(present) >= 3, "heavy terms lost under compression"
     for t in present:

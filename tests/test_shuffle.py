@@ -91,3 +91,15 @@ def test_semi_select_paths_agree(ray_session, monkeypatch):
         input_ds, keys_ds, "fp", 4, bloom_prefilter=False
     ).to_pandas()
     assert set(got_plain["fp"]) == want
+
+    # string keys: hashed into the bloom via xxh64 on both sides — this
+    # is the production shape (duplicate_spans keys on url)
+    inp_s = rd.from_arrow(pa.table({
+        "url": pa.array([f"doc://{i}" for i in range(3000)]),
+        "payload": pa.array([f"p{i}" for i in range(3000)]),
+    }))
+    keys_s = rd.from_arrow(pa.table({
+        "url": pa.array([f"doc://{i}" for i in range(0, 3000, 5)]),
+    }))
+    got_s = sh.semi_select(inp_s, keys_s, "url", 4).to_pandas()
+    assert set(got_s["url"]) == {f"doc://{i}" for i in range(0, 3000, 5)}
