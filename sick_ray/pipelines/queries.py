@@ -759,6 +759,91 @@ def q_price_quantiles(sf_dir: str):
                          num_partitions=QCFG.num_partitions)
 
 
+def q_price_quantiles_sketch(sf_dir: str, k: int = 4096):
+    """APPROXIMATE grouped quantiles via a mergeable bottom-k uniform
+    sample — the 100-TB scale path the exact twin's docstring defers to:
+    every row gets a deterministic priority u = mix64(row identity); each
+    batch keeps only its k smallest-u rows per group, partials merge by
+    again keeping the k smallest — a uniform without-replacement sample
+    (bottom-k sketch) whose p-quantile has rank error ~ sqrt(p(1-p)/k)
+    (≈0.8% at k=4096). Only k rows per group per batch ever shuffle.
+    Rows-only by design (estimates, not equal values); pytest gates the
+    estimated quantiles' true CDF positions against the exact twin."""
+    from sick_ray.shuffle import mix64
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_extendedprice"])
+    QS = (0.25, 0.50, 0.75, 0.95)
+    names = ("p25", "p50", "p75", "p95")
+
+    def bottom_k(part: pa.Table) -> pa.Table:
+        flag = np.asarray(part.column("l_returnflag").to_pylist(),
+                          dtype=object)
+        u = part.column("u").to_numpy(zero_copy_only=False)
+        price = part.column("price").to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, flag))
+        f_s = flag[order]
+        fm = np.ones(len(f_s), dtype=bool)
+        if len(f_s) > 1:
+            fm[1:] = f_s[1:] != f_s[:-1]
+        starts = np.flatnonzero(fm)
+        pos = np.arange(len(f_s)) - np.repeat(
+            starts, np.diff(np.append(starts, len(f_s)))
+        )
+        keep = order[pos < k]
+        return pa.table({
+            "l_returnflag": pa.array(flag[keep], type=pa.string()),
+            "u": pa.array(u[keep], type=pa.int64()),
+            "price": pa.array(price[keep], type=pa.float64()),
+        })
+
+    def sample_rows(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False)
+        u = mix64(ok.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87)
+                  + ln.astype(np.uint64)).view(np.int64)
+        pre = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "u": pa.array(u, type=pa.int64()),
+            "price": pc.cast(batch.column("l_extendedprice"), pa.float64()),
+        })
+        return bottom_k(pre)            # map-side pre-truncation
+
+    def estimate(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"l_returnflag": pa.array([], type=pa.string())}
+            | {nm: pa.array([], type=pa.float64()) for nm in names}
+        )
+        if part.num_rows == 0:
+            return empty
+        samp = bottom_k(part)           # merge: keep the global k smallest
+        flag = np.asarray(samp.column("l_returnflag").to_pylist(),
+                          dtype=object)
+        price = samp.column("price").to_numpy(zero_copy_only=False)
+        order = np.lexsort((price, flag))
+        f_s, v_s = flag[order], price[order]
+        fm = np.ones(len(f_s), dtype=bool)
+        if len(f_s) > 1:
+            fm[1:] = f_s[1:] != f_s[:-1]
+        starts = np.flatnonzero(fm)
+        counts = np.diff(np.append(starts, len(f_s)))
+        cols = {"l_returnflag": pa.array(f_s[starts], type=pa.string())}
+        for q, nm in zip(QS, names):
+            pos = starts + q * (counts - 1)
+            lo = pos.astype(np.int64)
+            frac = pos - lo
+            hi = np.minimum(lo + 1, starts + counts - 1)
+            val = v_s[lo] + (v_s[hi] - v_s[lo]) * frac
+            cols[nm] = pa.array(np.round(val, 4), type=pa.float64())
+        return pa.table(cols)
+
+    return grouped_apply(
+        li.map_batches(sample_rows, batch_format="pyarrow"),
+        ["l_returnflag"], estimate, num_partitions=QCFG.num_partitions,
+    )
+
+
 SQL_PRICE_QUANTILES = """
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
@@ -2820,6 +2905,7 @@ QUERIES = {
     "events_distinct_users": q_events_distinct_users,
     "events_user_hll": q_events_user_hll,
     "top_terms_mg": q_top_terms_mg,
+    "price_quantiles_sketch": q_price_quantiles_sketch,
     "curated_corpus": q_curated_corpus,
 }
 

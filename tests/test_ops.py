@@ -376,3 +376,39 @@ def test_mg_top_terms_bound(ray_session):
     for t in present:
         assert small.loc[t, "n"] <= ex.loc[t, "n"]          # under-estimates
         assert ex.loc[t, "n"] - small.loc[t, "n"] <= n_tokens / 9
+
+
+def test_quantile_sketch_rank_error(ray_session):
+    """Bottom-k quantile sketch: the estimated quantile's TRUE CDF
+    position must sit within ~3 sigma of the target rank (sigma =
+    sqrt(p(1-p)/k)); also the default-k estimate at this scale is
+    sample-of-everything (k >= group sizes) and equals the exact twin."""
+    import duckdb
+
+    from sick_ray.pipelines.queries import (
+        q_price_quantiles,
+        q_price_quantiles_sketch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')"
+    )
+    est = q_price_quantiles_sketch(sf, k=1024).to_pandas().set_index("l_returnflag")
+    for flag, row in est.iterrows():
+        for q, nm in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")):
+            cdf = con.execute(
+                "SELECT avg(CASE WHEN l_extendedprice <= ? THEN 1.0 ELSE 0 END) "
+                "FROM lineitem WHERE l_returnflag = ?",
+                [float(row[nm]), flag],
+            ).fetchone()[0]
+            sigma = (q * (1 - q) / 1024) ** 0.5
+            assert abs(cdf - q) < 3.5 * sigma + 0.01, (flag, nm, cdf, q)
+
+    # k large enough to hold every group: sketch == exact
+    big = q_price_quantiles_sketch(sf, k=60000).to_pandas().sort_values(
+        "l_returnflag").reset_index(drop=True)
+    exact = q_price_quantiles(sf).to_pandas().sort_values(
+        "l_returnflag").reset_index(drop=True)
+    pd.testing.assert_frame_equal(big, exact, check_dtype=False)
