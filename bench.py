@@ -132,7 +132,8 @@ def run_bench() -> dict:
         "exact_dedup_docs", "knn_embeddings", "simhash_docs",
         "gopher_repetition", "decontaminate_docs",
         "chunk_dedup_docs", "tfidf_top_terms", "kmeans_embeddings",
-        "curated_corpus", "events_user_hll",
+        "curated_corpus", "events_user_hll", "top_terms_mg",
+        "price_quantiles_sketch",
     ):
         t = time.time()
         out = QUERIES[name](SF_DIR)
