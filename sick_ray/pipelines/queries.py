@@ -718,42 +718,53 @@ def q_quality_docs(sf_dir: str):
     )
 
 
+def _grouped_quantile_cont(flag_col, price: np.ndarray, qs, names) -> pa.Table:
+    """Shared grouped quantile_cont kernel (value at rank q*(n-1),
+    linearly interpolated — DuckDB semantics) used by BOTH the exact
+    query and its bottom-k sketch twin, so the interpolation convention
+    can never drift between them. Groups by integer codes (no
+    object-dtype sorts on the hot path)."""
+    if len(price) == 0:
+        return pa.table(
+            {"l_returnflag": pa.array([], type=pa.string())}
+            | {nm: pa.array([], type=pa.float64()) for nm in names}
+        )
+    uniq = pc.unique(flag_col)
+    codes = pc.index_in(flag_col, uniq).to_numpy(zero_copy_only=False)
+    order = np.lexsort((price, codes))
+    c_s, v_s = codes[order], price[order]
+    fm = first_mask(c_s)
+    starts = np.flatnonzero(fm)
+    counts = np.diff(np.append(starts, len(c_s)))
+    cols = {"l_returnflag": uniq.take(pa.array(c_s[starts])).cast(pa.string())}
+    for q, nm in zip(qs, names):
+        pos = starts + q * (counts - 1)
+        lo = pos.astype(np.int64)
+        frac = pos - lo
+        hi = np.minimum(lo + 1, starts + counts - 1)
+        val = v_s[lo] + (v_s[hi] - v_s[lo]) * frac
+        cols[nm] = pa.array(np.round(val, 4), type=pa.float64())
+    return pa.table(cols)
+
+
 def q_price_quantiles(sf_dir: str):
     """Distributed exact grouped quantiles (p25/p50/p75/p95 of
     l_extendedprice by returnflag): hash-partition by group key, one
     vectorized sort + segmented rank interpolation per partition
-    (quantile_cont semantics — value at rank q*(n-1), linearly
-    interpolated). Exact path is right while a group's values fit one
-    partition; beyond that the scale path is a mergeable sketch
-    (t-digest / KLL) with the same query shape."""
+    (_grouped_quantile_cont — shared with the bottom-k sketch twin).
+    Exact path is right while a group's values fit one partition; the
+    scale path is q_price_quantiles_sketch."""
     li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
     QS = (0.25, 0.50, 0.75, 0.95)
     names = ("p25", "p50", "p75", "p95")
 
     def quantiles(part: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"l_returnflag": pa.array([], type=pa.string())}
-            | {nm: pa.array([], type=pa.float64()) for nm in names}
+        return _grouped_quantile_cont(
+            part.column("l_returnflag").combine_chunks(),
+            part.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            .astype(np.float64),
+            QS, names,
         )
-        if part.num_rows == 0:
-            return empty
-        flag = part.column("l_returnflag").to_numpy(zero_copy_only=False)
-        price = part.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        order = np.lexsort((price, flag))
-        f_s, v_s = flag[order], price[order]
-        fm = first_mask(f_s)
-        starts = np.flatnonzero(fm)
-        counts = np.diff(np.append(starts, len(f_s)))
-        cols = {"l_returnflag": pa.array(f_s[starts], type=pa.string())}
-        for q, nm in zip(QS, names):
-            pos = starts + q * (counts - 1)
-            lo = pos.astype(np.int64)
-            frac = pos - lo
-            hi = np.minimum(lo + 1, starts + counts - 1)
-            # lower + (upper-lower)*frac — mirror DuckDB's quantile_cont
-            val = v_s[lo] + (v_s[hi] - v_s[lo]) * frac
-            cols[nm] = pa.array(np.round(val, 4), type=pa.float64())
-        return pa.table(cols)
 
     return grouped_apply(li, ["l_returnflag"], quantiles,
                          num_partitions=QCFG.num_partitions)
@@ -761,14 +772,15 @@ def q_price_quantiles(sf_dir: str):
 
 def q_price_quantiles_sketch(sf_dir: str, k: int = 4096):
     """APPROXIMATE grouped quantiles via a mergeable bottom-k uniform
-    sample — the 100-TB scale path the exact twin's docstring defers to:
-    every row gets a deterministic priority u = mix64(row identity); each
-    batch keeps only its k smallest-u rows per group, partials merge by
-    again keeping the k smallest — a uniform without-replacement sample
+    sample — the 100-TB scale path of q_price_quantiles: every row gets
+    a deterministic priority u = mix64(row identity); each batch keeps
+    only its k smallest-u rows per group, partials merge by again
+    keeping the k smallest — a uniform without-replacement sample
     (bottom-k sketch) whose p-quantile has rank error ~ sqrt(p(1-p)/k)
-    (≈0.8% at k=4096). Only k rows per group per batch ever shuffle.
-    Rows-only by design (estimates, not equal values); pytest gates the
-    estimated quantiles' true CDF positions against the exact twin."""
+    (≈0.8% at k=4096). Only k rows per group per batch ever shuffle, and
+    the quantile interpolation is the SAME _grouped_quantile_cont kernel
+    as the exact twin. Rows-only by design (estimates, not equal
+    values); pytest gates the estimated quantiles' true CDF positions."""
     from sick_ray.shuffle import mix64
 
     li = _read(sf_dir, "lineitem",
@@ -777,66 +789,48 @@ def q_price_quantiles_sketch(sf_dir: str, k: int = 4096):
     QS = (0.25, 0.50, 0.75, 0.95)
     names = ("p25", "p50", "p75", "p95")
 
-    def bottom_k(part: pa.Table) -> pa.Table:
-        flag = np.asarray(part.column("l_returnflag").to_pylist(),
-                          dtype=object)
-        u = part.column("u").to_numpy(zero_copy_only=False)
-        price = part.column("price").to_numpy(zero_copy_only=False)
-        order = np.lexsort((u, flag))
-        f_s = flag[order]
-        fm = np.ones(len(f_s), dtype=bool)
-        if len(f_s) > 1:
-            fm[1:] = f_s[1:] != f_s[:-1]
+    def bottom_k(flag_col, u, price):
+        """(flag_col, u, price) numpy/arrow triple → the k smallest-u
+        rows per group, vectorized via integer group codes."""
+        codes = pc.index_in(flag_col, pc.unique(flag_col)).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((u, codes))
+        c_s = codes[order]
+        fm = first_mask(c_s)
         starts = np.flatnonzero(fm)
-        pos = np.arange(len(f_s)) - np.repeat(
-            starts, np.diff(np.append(starts, len(f_s)))
+        pos = np.arange(len(c_s)) - np.repeat(
+            starts, np.diff(np.append(starts, len(c_s)))
         )
         keep = order[pos < k]
-        return pa.table({
-            "l_returnflag": pa.array(flag[keep], type=pa.string()),
-            "u": pa.array(u[keep], type=pa.int64()),
-            "price": pa.array(price[keep], type=pa.float64()),
-        })
+        return flag_col.take(pa.array(keep)), u[keep], price[keep]
 
     def sample_rows(batch: pa.Table) -> pa.Table:
         ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
         ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False)
         u = mix64(ok.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87)
                   + ln.astype(np.uint64)).view(np.int64)
-        pre = pa.table({
-            "l_returnflag": batch.column("l_returnflag"),
-            "u": pa.array(u, type=pa.int64()),
-            "price": pc.cast(batch.column("l_extendedprice"), pa.float64()),
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        f, u2, p2 = bottom_k(
+            batch.column("l_returnflag").combine_chunks(), u, price
+        )                                   # map-side pre-truncation
+        return pa.table({
+            "l_returnflag": f,
+            "u": pa.array(u2, type=pa.int64()),
+            "price": pa.array(p2, type=pa.float64()),
         })
-        return bottom_k(pre)            # map-side pre-truncation
 
     def estimate(part: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"l_returnflag": pa.array([], type=pa.string())}
-            | {nm: pa.array([], type=pa.float64()) for nm in names}
+        # merge: keep the global k smallest per group, then the SHARED
+        # quantile kernel over the sample
+        f, _u, p2 = bottom_k(
+            part.column("l_returnflag").combine_chunks(),
+            part.column("u").to_numpy(zero_copy_only=False),
+            part.column("price").to_numpy(zero_copy_only=False),
         )
-        if part.num_rows == 0:
-            return empty
-        samp = bottom_k(part)           # merge: keep the global k smallest
-        flag = np.asarray(samp.column("l_returnflag").to_pylist(),
-                          dtype=object)
-        price = samp.column("price").to_numpy(zero_copy_only=False)
-        order = np.lexsort((price, flag))
-        f_s, v_s = flag[order], price[order]
-        fm = np.ones(len(f_s), dtype=bool)
-        if len(f_s) > 1:
-            fm[1:] = f_s[1:] != f_s[:-1]
-        starts = np.flatnonzero(fm)
-        counts = np.diff(np.append(starts, len(f_s)))
-        cols = {"l_returnflag": pa.array(f_s[starts], type=pa.string())}
-        for q, nm in zip(QS, names):
-            pos = starts + q * (counts - 1)
-            lo = pos.astype(np.int64)
-            frac = pos - lo
-            hi = np.minimum(lo + 1, starts + counts - 1)
-            val = v_s[lo] + (v_s[hi] - v_s[lo]) * frac
-            cols[nm] = pa.array(np.round(val, 4), type=pa.float64())
-        return pa.table(cols)
+        return _grouped_quantile_cont(f, p2, QS, names)
 
     return grouped_apply(
         li.map_batches(sample_rows, batch_format="pyarrow"),

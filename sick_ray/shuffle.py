@@ -153,7 +153,14 @@ def semi_select(input_ds, keys_ds, on: str, num_partitions: int,
     import pyarrow.compute as pc
     import ray
 
-    n_keys = keys_ds.count() if n_keys_hint is None else n_keys_hint
+    if n_keys_hint is None:
+        # materialize BEFORE counting: count() on a lazy pipeline executes
+        # it and discards the blocks, and both downstream paths consume
+        # keys_ds again (bloom build / broadcast assembly / join)
+        keys_ds = keys_ds.materialize()
+        n_keys = keys_ds.count()
+    else:
+        n_keys = n_keys_hint
     if n_keys > BROADCAST_KEYS_LIMIT:
         key_type = None
         try:
@@ -175,7 +182,8 @@ def semi_select(input_ds, keys_ds, on: str, num_partitions: int,
             m, k = bloom_params(n_keys)
             is_str = not pa.types.is_integer(key_type)
             # consumed by the bloom build AND the join: a lazy keys
-            # pipeline would otherwise re-execute per consumer
+            # pipeline would otherwise re-execute per consumer (no-op when
+            # the hint-less path above already materialized)
             keys_ds = keys_ds.materialize()
 
             def key_ints(col) -> "np.ndarray":
