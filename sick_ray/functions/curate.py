@@ -479,3 +479,15 @@ def slice_token_strings(low: np.ndarray, starts: np.ndarray,
         pa.large_string(), n,
         [None, pa.py_buffer(offsets), pa.py_buffer(dst)],
     )
+
+
+def weighted_sample_mask(ids: np.ndarray, rate_permille: np.ndarray) -> np.ndarray:
+    """Per-row weighted sample: keep rows whose
+    ``(id * 2654435761) mod 2^32 mod 1000 < rate_permille`` — the
+    data-mixing primitive (per-source keep rates). Same Knuth
+    multiplicative hash and INT128-SQL-expressibility as
+    :func:`hash_sample_mask`; membership is engine-reproducible and
+    independent of sharding. ``rate_permille``: int array aligned with
+    ``ids`` (0 = drop all, 1000 = keep all)."""
+    v = ids.astype(np.uint64) * _KNUTH % _MOD32
+    return (v % np.uint64(1000)).astype(np.int64) < rate_permille

@@ -2216,6 +2216,37 @@ def q_sample_docs(sf_dir: str):
     return docs.map_batches(flt, batch_format="pyarrow")
 
 
+def q_weighted_mix_docs(sf_dir: str):
+    """Source-weighted data mixing: per-source keep RATES (here derived
+    deterministically from the source name: srcN keeps (1 + N mod 10) x
+    10%) applied as a stateless per-row hash predicate — how a training
+    mix up- or down-weights corpora without materializing intermediate
+    copies. Same Knuth-hash membership (and HUGEINT SQL twin) as
+    sample_docs; resharding never changes the mix."""
+    from sick_ray.functions.curate import weighted_sample_mask
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "source", "n_chars"])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src_num = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("source"), 3, 2**30),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        rate = (1 + src_num % 10) * 100
+        return batch.filter(pa.array(weighted_sample_mask(ids, rate)))
+
+    return docs.map_batches(flt, batch_format="pyarrow")
+
+
+SQL_WEIGHTED_MIX_DOCS = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000
+      < (1 + CAST(substr(source, 4) AS BIGINT) % 10) * 100
+"""
+
+
 SQL_SAMPLE_DOCS = """
 -- HUGEINT cast: doc_id * 2654435761 overflows INT64 for doc_id >= ~3.47e9
 -- (the 100-TB id range); the kernel's uint64 wrap is harmless because
@@ -2891,6 +2922,7 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "pii_redact_docs": q_pii_redact_docs,
     "sample_docs": q_sample_docs,
+    "weighted_mix_docs": q_weighted_mix_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "embedding_centroids": q_embedding_centroids,
     "chunk_dedup_docs": q_chunk_dedup_docs,
@@ -2950,6 +2982,7 @@ ORACLES = {
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "pii_redact_docs": SQL_PII_REDACT_DOCS,
     "sample_docs": SQL_SAMPLE_DOCS,
+    "weighted_mix_docs": SQL_WEIGHTED_MIX_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "chunk_dedup_docs": SQL_CHUNK_DEDUP_DOCS,
