@@ -133,7 +133,8 @@ def run_bench() -> dict:
         "gopher_repetition", "decontaminate_docs",
         "chunk_dedup_docs", "tfidf_top_terms", "kmeans_embeddings",
         "curated_corpus", "events_user_hll", "top_terms_mg",
-        "price_quantiles_sketch",
+        "price_quantiles_sketch", "weighted_mix_docs", "pack_sequences",
+        "stratified_sample_docs",
     ):
         t = time.time()
         out = QUERIES[name](SF_DIR)

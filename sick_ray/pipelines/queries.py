@@ -2256,6 +2256,146 @@ WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 10 = 3
 """
 
 
+N_PACK_SHARDS = 8
+PACK_BUDGET = 2048  # tokens per training sequence
+
+
+def q_pack_sequences(sf_dir: str):
+    """Training-sequence packing (concatenate-and-chunk, the GPT-style
+    pretraining layout): docs are hash-sharded (``doc_id % N_PACK_SHARDS``
+    — deterministic and reshard-invariant; at 100-TB scale the shard
+    count grows so each shard's token stream packs independently in
+    parallel), concatenated in doc_id order within the shard with one
+    EOS token after each doc, and cut into fixed ``PACK_BUDGET``-token
+    sequences. Each doc row reports the sequences covering it
+    (``seq_start``..``seq_end``) and its offset in the first one — all
+    exact integers, so the oracle is a plain SQL window cumsum (no
+    recursion; greedy no-split packing would need one).
+
+    Shuffle weight: 24 B/row (doc_id, token_count, shard int64s) — text
+    never moves. The per-shard fold is one sorted cumsum (vectorized)."""
+    from sick_ray.functions.text import add_token_count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shard_of(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.select(["doc_id", "token_count"]).append_column(
+            "shard", pa.array(did % N_PACK_SHARDS, pa.int64())
+        )
+
+    slim = docs.map_batches(add_token_count, batch_format="pyarrow").map_batches(
+        shard_of, batch_format="pyarrow"
+    )
+
+    def pack(group: pa.Table) -> pa.Table:
+        g = group.take(pc.sort_indices(group, sort_keys=[("doc_id", "ascending")]))
+        tok = g.column("token_count").to_numpy(zero_copy_only=False) + 1  # +EOS
+        start = np.cumsum(tok) - tok
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "shard": g.column("shard"),
+                "tok": pa.array(tok, pa.int64()),
+                "seq_start": pa.array(start // PACK_BUDGET, pa.int64()),
+                "seq_end": pa.array((start + tok - 1) // PACK_BUDGET, pa.int64()),
+                "seq_offset": pa.array(start % PACK_BUDGET, pa.int64()),
+            }
+        )
+
+    return slim.groupby("shard").map_groups(pack, batch_format="pyarrow")
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_extract_all(text, '[0-9A-Za-z]+')) AS BIGINT) + 1 AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, tok,
+         SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - tok AS start_pos
+  FROM t
+)
+SELECT doc_id, shard, tok,
+       CAST(start_pos // 2048 AS BIGINT) AS seq_start,
+       CAST((start_pos + tok - 1) // 2048 AS BIGINT) AS seq_end,
+       CAST(start_pos % 2048 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+STRATA_QUOTA = 20  # docs kept per language
+
+
+def q_stratified_sample_docs(sf_dir: str):
+    """Stratified quota sampling: the top ``STRATA_QUOTA`` docs PER
+    LANGUAGE by quality score (ties broken doc_id-ascending) — how a
+    training mix enforces per-language quotas instead of letting a
+    head language swamp the corpus. Same partial-top-k shape as
+    q_top10_orders (per-batch top-k per stratum, tiny driver merge — no
+    global sort); quality is the oracled q_quality_docs formula, so
+    both sides rank identical float64 values."""
+    from sick_ray.functions.text import add_quality_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    scored = docs.map_batches(add_quality_score, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang", "quality"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["quality", "doc_id"], ascending=[False, True]
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False, sort=False).head(STRATA_QUOTA),
+            preserve_index=False,
+        )
+
+    parts = scored.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["quality", "doc_id"], ascending=[False, True])
+        .groupby("lang", as_index=False, sort=False)
+        .head(STRATA_QUOTA)
+    )
+    return pa.Table.from_pandas(
+        out.sort_values(["lang", "doc_id"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = """
+WITH feats AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digits,
+         CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9A-Za-z]+')) AS DOUBLE) AS n_tokens
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         least(greatest(ln(1 + n_chars) / ln(2000.0), 0), 1) AS len_score,
+         least(greatest(1 - abs(
+           CASE WHEN n_tokens > 0
+                THEN (n_chars - n_tokens + 1) / greatest(n_tokens, 1)
+                ELSE 0 END - 5.0) / 10.0, 0), 1) AS tok_score,
+         least(greatest(
+           1 - 2.0 * (n_digits / greatest(n_chars, 1.0)
+                      + n_punct / greatest(n_chars, 1.0)), 0), 1) AS noise_pen
+  FROM feats
+), q AS (
+  SELECT doc_id, lang,
+         round(0.4 * len_score + 0.3 * tok_score + 0.3 * noise_pen, 6) AS quality
+  FROM scored
+)
+SELECT doc_id, lang, quality FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY quality DESC, doc_id) AS rk
+  FROM q
+) WHERE rk <= 20
+"""
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: flag any corpus doc sharing an 8-token
     shingle with the benchmark set (here: docs with doc_id % 50 == 0 stand
@@ -2923,6 +3063,8 @@ QUERIES = {
     "pii_redact_docs": q_pii_redact_docs,
     "sample_docs": q_sample_docs,
     "weighted_mix_docs": q_weighted_mix_docs,
+    "pack_sequences": q_pack_sequences,
+    "stratified_sample_docs": q_stratified_sample_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "embedding_centroids": q_embedding_centroids,
     "chunk_dedup_docs": q_chunk_dedup_docs,
@@ -2983,6 +3125,8 @@ ORACLES = {
     "pii_redact_docs": SQL_PII_REDACT_DOCS,
     "sample_docs": SQL_SAMPLE_DOCS,
     "weighted_mix_docs": SQL_WEIGHTED_MIX_DOCS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "chunk_dedup_docs": SQL_CHUNK_DEDUP_DOCS,
