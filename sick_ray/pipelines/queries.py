@@ -2926,7 +2926,34 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     return assignments
 
 
-SQL_KMEANS_EMBEDDINGS = """
+def q_semdedup_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
+                          tau: float = 0.3):
+    """SemDeDup (Abbas et al. 2023) semantic dedup: k-means cluster the
+    embeddings (same distributed Lloyd as kmeans_embeddings), then drop
+    every vector whose cosine to ANY lower-vec_id member of its cluster
+    is >= tau — the deterministic keep-lowest-id variant, so the whole
+    decision is SQL-expressible: the oracle reuses the kmeans
+    recursive-CTE assignments verbatim and applies the identical
+    NOT-EXISTS prune. VALIDITY DOMAIN: both the assignment oracle's
+    boundary-stability argument AND a cosine-threshold margin apply —
+    measured min |cos - tau| is 6.9e-05 at sf0.01 (all pairs) and
+    1.5e-06 at sf0.1 (within clusters); the engine/oracle both sum in
+    float64 (drift ~1e-15), so no keep-flag can flip. Verified
+    row-identical at both scales. Within-cluster work is row-chunked;
+    at 10^12 docs k scales with n (paper: ~100k clusters) so
+    per-cluster cost stays bounded."""
+    from sick_ray.stages.ann import semdedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(emb, k=k, iters=iters, tau=tau,
+                    num_partitions=QCFG.num_partitions)
+
+
+# Shared recursive-CTE Lloyd (5 iterations) producing final_assign
+# (vec_id, cluster) — the oracle half of both kmeans_embeddings and
+# semdedup_embeddings. Kept as a prefix string so the two oracles are
+# guaranteed to run the IDENTICAL clustering.
+_SQL_KMEANS_ASSIGN_CTE = """
 WITH RECURSIVE
 pts AS (  -- unit-normalized points, long format
   SELECT vec_id, i - 1 AS dim,
@@ -2982,12 +3009,32 @@ final_dots AS (
   SELECT p.vec_id, f.c, sum(p.v * f.cv) AS dot
   FROM pts p JOIN final_c f ON p.dim = f.dim
   GROUP BY 1, 2
+),
+final_assign AS (
+  SELECT vec_id, c AS cluster FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rk
+    FROM final_dots
+  ) WHERE rk = 1
 )
-SELECT vec_id, c AS cluster FROM (
-  SELECT vec_id, c,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rk
-  FROM final_dots
-) WHERE rk = 1
+"""
+
+SQL_KMEANS_EMBEDDINGS = _SQL_KMEANS_ASSIGN_CTE + """
+SELECT vec_id, cluster FROM final_assign
+"""
+
+SQL_SEMDEDUP_EMBEDDINGS = _SQL_KMEANS_ASSIGN_CTE + """,
+sims AS (
+  SELECT a.vec_id AS hi, sum(p1.v * p2.v) AS cs
+  FROM final_assign a
+  JOIN final_assign b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  JOIN pts p1 ON p1.vec_id = a.vec_id
+  JOIN pts p2 ON p2.vec_id = b.vec_id AND p2.dim = p1.dim
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT f.vec_id, f.cluster,
+       f.vec_id NOT IN (SELECT hi FROM sims WHERE cs >= 0.3) AS keep
+FROM final_assign f
 """
 
 
@@ -3070,6 +3117,7 @@ QUERIES = {
     "chunk_dedup_docs": q_chunk_dedup_docs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "semdedup_embeddings": q_semdedup_embeddings,
     "events_distinct_users": q_events_distinct_users,
     "events_user_hll": q_events_user_hll,
     "top_terms_mg": q_top_terms_mg,
@@ -3133,6 +3181,7 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "curated_corpus": SQL_CURATED_CORPUS,
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
+    "semdedup_embeddings": SQL_SEMDEDUP_EMBEDDINGS,
     "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
     # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
     # embedding_near_dup / media_decode: not SQL-expressible

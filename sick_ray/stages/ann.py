@@ -586,3 +586,77 @@ def kmeans_lloyd(emb_ds, k: int = 8, iters: int = 5,
         })
 
     return emb_ds.map_batches(assign, batch_format="pyarrow"), cent
+
+
+def semdedup(emb_ds, k: int = 8, iters: int = 5, tau: float = 0.3,
+             num_partitions: int = 8, id_col: str = "vec_id",
+             emb_col: str = "embedding", row_chunk: int = 1024):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    k-means cluster the embeddings, then inside each cluster drop every
+    vector whose cosine to ANY lower-id member of the same cluster is
+    >= ``tau`` — the deterministic keep-lowest-id variant of the paper's
+    one-point-per-eps-ball rule, matching exact dedup's keep-first
+    convention so a SQL oracle can reproduce it row-exactly.
+
+    Scale shape: the corpus never does a global all-pairs — candidate
+    pairs exist only within a k-means cluster, and at 10^12 docs k grows
+    with n (k ~ n / target_cluster_size, the paper uses ~100k clusters)
+    so per-cluster work stays bounded. The cluster shuffle moves
+    (id, cluster, embedding) rows once; the within-cluster pairwise
+    matmul is row-chunked (memory O(row_chunk * cluster_size)). The
+    k-means itself is the zero-shuffle streaming Lloyd above.
+
+    Returns Dataset (vec_id:int64, cluster:int64, keep:bool) — one row
+    per input vector.
+    """
+    import ray
+
+    emb_ds = emb_ds.materialize()      # consumed by Lloyd iters + assign
+    _, cent = kmeans_lloyd(emb_ds, k=k, iters=iters,
+                           id_col=id_col, emb_col=emb_col)
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_emb_matrix(batch.column(emb_col)))
+        a = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column(id_col).cast(pa.int64()),
+            "cluster": pa.array(a),
+            emb_col: batch.column(emb_col),
+        })
+
+    ds = emb_ds.map_batches(assign, batch_format="pyarrow")
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64()),
+                      "keep": pa.array([], pa.bool_())})
+
+    def prune(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty
+        ids = part.column("vec_id").to_numpy(zero_copy_only=False)
+        cl = part.column("cluster").to_numpy(zero_copy_only=False)
+        m = _normalize(_emb_matrix(part.column(emb_col)))
+        o = sort_index(cl, ids)
+        ids_s, cl_s, m_s = ids[o], cl[o], m[o]
+        starts = np.flatnonzero(first_mask(cl_s))
+        ends = np.append(starts[1:], len(cl_s))
+        keep = np.ones(len(cl_s), dtype=bool)
+        for s, e in zip(starts, ends):      # few groups; bodies are matmuls
+            g = m_s[s:e]
+            n_g = e - s
+            for lo in range(1, n_g, row_chunk):
+                hi = min(lo + row_chunk, n_g)
+                # rows [lo,hi) vs ALL lower-index rows [0,hi); mask j >= i
+                sims = g[lo:hi] @ g[:hi].T
+                jj = np.arange(hi)[None, :]
+                ii = np.arange(lo, hi)[:, None]
+                sims[jj >= ii] = -1.0
+                keep[s + lo:s + hi] = ~(sims >= tau).any(axis=1)
+        return pa.table({"vec_id": pa.array(ids_s),
+                         "cluster": pa.array(cl_s),
+                         "keep": pa.array(keep)})
+
+    return grouped_apply(ds, ["cluster"], prune,
+                         num_partitions=num_partitions)

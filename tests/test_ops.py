@@ -334,6 +334,53 @@ def test_kmeans_lloyd_matches_local_reference(ray_session):
     assert len(np.unique(ref_a)) > 1          # the clustering is non-trivial
 
 
+def test_semdedup_matches_local_reference(ray_session):
+    """semdedup must reproduce a single-process numpy reference: cluster
+    with the same Lloyd, then inside each cluster drop any vector with
+    cosine >= tau to a lower-vec_id member (kept or not — the
+    deterministic keep-lowest-id rule). Also partition-invariant."""
+    import ray.data as rd
+
+    from sick_ray.stages.ann import _emb_matrix, _normalize, semdedup
+
+    sf = "/root/testdata/sf0.01"
+    tau = 0.3
+    emb = rd.read_parquet(sf + "/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    got = (semdedup(emb, k=8, iters=5, tau=tau, num_partitions=4)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    got2 = (semdedup(emb, k=8, iters=5, tau=tau, num_partitions=11)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)   # partition invariance
+
+    tbl = pa.concat_tables(
+        list(emb.iter_batches(batch_size=10**6, batch_format="pyarrow"))
+    )
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    m = _normalize(_emb_matrix(tbl.column("embedding").combine_chunks()))[order]
+    k, iters = 8, 5
+    c = m[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        a = np.argmax(m @ c.T, axis=1)
+        for ci in range(k):
+            v = m[a == ci].sum(axis=0)
+            n = np.linalg.norm(v)
+            if n > 0:
+                c[ci] = v / n
+    a = np.argmax(m @ c.T, axis=1)
+    keep = np.ones(len(ids_s), dtype=bool)
+    sims = m @ m.T
+    for i in range(1, len(ids_s)):
+        lower = (a[:i] == a[i]) & (sims[i, :i] >= tau)
+        keep[i] = not lower.any()
+    assert (got["vec_id"].to_numpy() == ids_s).all()
+    assert (got["cluster"].to_numpy() == a).all()
+    assert (got["keep"].to_numpy() == keep).all()
+    assert 0 < keep.sum() < len(keep)          # the prune actually bites
+
+
 def test_hll_within_error_envelope(ray_session):
     """HLL distinct-user estimates within 3 sigma (~2.5% at p=14) of the
     exact twin, per event type."""
