@@ -132,7 +132,8 @@ def run_bench() -> dict:
         "exact_dedup_docs", "knn_embeddings", "simhash_docs",
         "gopher_repetition", "decontaminate_docs",
         "chunk_dedup_docs", "tfidf_top_terms", "kmeans_embeddings",
-        "semdedup_embeddings",
+        "semdedup_embeddings", "cap_per_source", "novelty_docs",
+        "quality_classifier", "source_overlap",
         "curated_corpus", "events_user_hll", "top_terms_mg",
         "price_quantiles_sketch", "weighted_mix_docs", "pack_sequences",
         "stratified_sample_docs",

@@ -491,3 +491,254 @@ def weighted_sample_mask(ids: np.ndarray, rate_permille: np.ndarray) -> np.ndarr
     ``ids`` (0 = drop all, 1000 = keep all)."""
     v = ids.astype(np.uint64) * _KNUTH % _MOD32
     return (v % np.uint64(1000)).astype(np.int64) < rate_permille
+
+
+def _keep_first_n(run_first: np.ndarray, n: int) -> np.ndarray:
+    """Boolean mask keeping the first ``n`` positions of each run, where
+    ``run_first`` marks run starts over a run-sorted array."""
+    starts = np.flatnonzero(run_first)
+    lens = np.diff(np.append(starts, len(run_first)))
+    rank = np.arange(len(run_first), dtype=np.int64) - np.repeat(starts, lens)
+    return rank < n
+
+
+def cap_per_source(ds, cap: int = 10, id_col: str = "doc_id",
+                   key_col: str = "source", num_partitions: int = 16):
+    """Hot-source capping (the RefinedWeb/C4 per-domain limit): keep at
+    most ``cap`` docs per ``key_col``, deterministically the lowest
+    ``id_col`` values, and flag every row — Dataset (id_col, key_col,
+    keep:bool).
+
+    Ray shape (100 TB): each batch pre-truncates to its own first-N per
+    source (dictionary-encode the key, one int lexsort), so the shuffle
+    moves at most cap rows per source per batch; the grouped reduce
+    repeats the same keep-first-N, and the winner id set (≤ cap ×
+    n_sources rows) is assembled in-cluster and probed per batch with a
+    guarded searchsorted — the corpus itself never shuffles. A key
+    universe above the broadcast limit would swap the probe for a hash
+    join on ``id_col`` (the BROADCAST_KEYS_LIMIT convention); source
+    cardinality is bounded in practice (domains, not documents)."""
+    import ray
+
+    from sick_ray.shuffle import assemble_blocks, grouped_apply
+
+    def first_n_rows(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = pc.dictionary_encode(col).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        keep = _keep_first_n(first_mask(codes[order]), cap)
+        sel = order[keep]
+        return pa.table({
+            key_col: col.take(pa.array(sel)),
+            id_col: pa.array(ids[sel], type=pa.int64()),
+        })
+
+    winners = grouped_apply(
+        ds.select_columns([id_col, key_col]).map_batches(
+            first_n_rows, batch_format="pyarrow"),
+        [key_col], first_n_rows, num_partitions=num_partitions,
+    ).materialize()
+
+    def finalize_ids(tbl: pa.Table) -> np.ndarray:
+        return np.sort(tbl.column(id_col).to_numpy(zero_copy_only=False))
+
+    win_ref = assemble_blocks(
+        winners, [id_col], finalize_ids, empty=np.empty(0, dtype=np.int64)
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = ray.get(win_ref)
+        pos = np.searchsorted(w, ids)
+        np.clip(pos, 0, max(len(w) - 1, 0), out=pos)
+        keep = (w[pos] == ids) if len(w) else np.zeros(len(ids), bool)
+        return pa.table({
+            id_col: batch.column(id_col),
+            key_col: batch.column(key_col),
+            "keep": pa.array(keep),
+        })
+
+    return ds.select_columns([id_col, key_col]).map_batches(
+        flag, batch_format="pyarrow")
+
+
+def novelty_stats(ds, k: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text", num_partitions: int = 64):
+    """Per-doc n-gram novelty: of each doc's DISTINCT ``k``-gram
+    shingles, how many does it OWN (owner = lowest doc_id containing the
+    shingle corpus-wide)? Dataset (doc_id, n_shingles, n_novel,
+    novel_ppm) with novel_ppm = n_novel·10⁶ // n_shingles — the standard
+    dedup-effectiveness / memorization-risk diagnostic. Docs with fewer
+    than ``k`` tokens emit nothing.
+
+    Ray shape (100 TB): the map side emits one 16 B (shingle_hash,
+    doc_id) row per distinct in-doc shingle (a doc lives in exactly one
+    batch, so per-batch distinct IS global distinct); the shingle-keyed
+    shuffle computes each shingle's owner with a run min and folds
+    per-doc (total, novel) partials INSIDE the same reduce, so the
+    second (doc-keyed) shuffle moves at most one 24 B row per doc per
+    partition. Shingles are 64-bit rolling hashes of token hashes — a
+    hash collision merging two distinct text shingles would undercount
+    by 1 (probability ~n²/2⁶⁴; the SQL oracle compares exact strings)."""
+    from sick_ray.shuffle import grouped_apply
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        th, offs = tokenize_hashes_col(col)
+        g, gdoc = ngram_hashes(th, offs, k)
+        did = batch.column(id_col).to_numpy(zero_copy_only=False)[gdoc]
+        order = np.lexsort((g, did))
+        g_s, d_s = g[order], did[order]
+        fm = first_mask(d_s) | first_mask(g_s)
+        return pa.table({
+            "sh": pa.array(g_s[fm].view(np.int64)),
+            id_col: pa.array(d_s[fm], type=pa.int64()),
+        })
+
+    def owner_partials(part: pa.Table) -> pa.Table:
+        sh = part.column("sh").to_numpy(zero_copy_only=False)
+        did = part.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, sh))
+        sh_s, d_s = sh[order], did[order]
+        fm = first_mask(sh_s)
+        starts = np.flatnonzero(fm)
+        lens = np.diff(np.append(starts, len(sh_s)))
+        # rows are (sh, doc)-sorted, so each run's FIRST doc is its owner
+        is_owner = np.zeros(len(sh_s), dtype=np.int64)
+        is_owner[starts] = 1
+        o2 = np.argsort(d_s, kind="stable")
+        dd, io = d_s[o2], is_owner[o2]
+        dstarts = np.flatnonzero(first_mask(dd))
+        total = np.diff(np.append(dstarts, len(dd)))
+        novel = np.add.reduceat(io, dstarts) if len(dd) else np.empty(0, np.int64)
+        return pa.table({
+            id_col: pa.array(dd[dstarts], type=pa.int64()),
+            "total": pa.array(total, type=pa.int64()),
+            "novel": pa.array(novel, type=pa.int64()),
+        })
+
+    def combine(part: pa.Table) -> pa.Table:
+        did = part.column(id_col).to_numpy(zero_copy_only=False)
+        tot = part.column("total").to_numpy(zero_copy_only=False)
+        nov = part.column("novel").to_numpy(zero_copy_only=False)
+        order = np.argsort(did, kind="stable")
+        dd = did[order]
+        starts = np.flatnonzero(first_mask(dd))
+        t = np.add.reduceat(tot[order], starts)
+        v = np.add.reduceat(nov[order], starts)
+        return pa.table({
+            id_col: pa.array(dd[starts], type=pa.int64()),
+            "n_shingles": pa.array(t, type=pa.int64()),
+            "n_novel": pa.array(v, type=pa.int64()),
+            "novel_ppm": pa.array(v * 1_000_000 // t, type=pa.int64()),
+        })
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        shingle_rows, batch_format="pyarrow")
+    partials = grouped_apply(rows, ["sh"], owner_partials,
+                             num_partitions=num_partitions)
+    return grouped_apply(partials, [id_col], combine,
+                         num_partitions=num_partitions)
+
+
+def source_overlap(ds, k: int = 8, key_col: str = "source",
+                   text_col: str = "text", num_partitions: int = 64,
+                   pair_cap: int = 1 << 20):
+    """Cross-source n-gram leakage matrix: for every unordered source
+    pair, how many DISTINCT ``k``-gram shingles appear in both — the
+    corpus-overlap / contamination diagnostic run before mixing corpora.
+    Dataset (src_a, src_b, n_shared) with src_a < src_b.
+
+    Ray shape (100 TB): the map side emits per-batch-distinct
+    (shingle_hash, source) rows; the shingle-keyed shuffle deduplicates
+    globally, emits each group's source pairs via the counted-cap
+    ``segment_pairs`` emitter (a shingle in g sources yields C(g,2)
+    pairs — the same doc-frequency blowup the n-gram index caps), and
+    pre-aggregates pair counts INSIDE the partition, so the final
+    (src_a, src_b)-keyed shuffle moves at most one row per pair per
+    partition. Source codes are per-partition ranks of the SORTED
+    source strings, so code order == lexicographic order and src_a <
+    src_b matches SQL string comparison. 64-bit shingle-hash collisions
+    merge two string shingles (~n²/2⁶⁴; the oracle uses exact strings).
+    """
+    from sick_ray.shuffle import grouped_apply, segment_pairs
+
+    def shingle_src_rows(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        th, offs = tokenize_hashes_col(col)
+        g, gdoc = ngram_hashes(th, offs, k)
+        src = np.asarray(batch.column(key_col).to_pylist(), dtype=object)
+        uniq, inv = np.unique(src, return_inverse=True)
+        code = inv[gdoc]
+        order = np.lexsort((code, g))
+        g_s, c_s = g[order], code[order]
+        fm = first_mask(g_s) | first_mask(c_s)
+        return pa.table({
+            "g": pa.array(g_s[fm].view(np.int64)),
+            key_col: pa.array(uniq[c_s[fm]], type=pa.string()),
+        })
+
+    def pair_partials(part: pa.Table) -> pa.Table:
+        g = part.column("g").to_numpy(zero_copy_only=False)
+        src = np.asarray(part.column(key_col).to_pylist(), dtype=object)
+        uniq, inv = np.unique(src, return_inverse=True)
+        order = np.lexsort((inv, g))
+        g_s, c_s = g[order], inv[order]
+        # global distinct (a (g, source) pair may arrive from many batches)
+        fm = first_mask(g_s) | first_mask(c_s)
+        g_s, c_s = g_s[fm], c_s[fm]
+        ii, jj, tp, tg = segment_pairs(g_s, pair_cap)
+        if tp:
+            # counting semantics: a truncated group UNDERCOUNTS, it does
+            # not just lose recall — refuse loudly rather than degrade.
+            # pair_cap must be ≥ C(n_sources, 2); sources are domains, so
+            # this binds only at ≥ ~1449 distinct sources sharing ONE
+            # shingle under the default cap.
+            raise ValueError(
+                f"source_overlap: {tg} shingle groups exceed pair_cap="
+                f"{pair_cap} (C(n_sources,2) pairs needed for exact "
+                "counts); raise pair_cap")
+        if not len(ii):
+            return pa.table({
+                "src_a": pa.array([], type=pa.string()),
+                "src_b": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        # within a g run codes ascend, so c[ii] < c[jj] == lexicographic
+        key = c_s[ii].astype(np.int64) * len(uniq) + c_s[jj]
+        pk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "src_a": pa.array(uniq[pk // len(uniq)], type=pa.string()),
+            "src_b": pa.array(uniq[pk % len(uniq)], type=pa.string()),
+            "n": pa.array(cnt, type=pa.int64()),
+        })
+
+    def combine(part: pa.Table) -> pa.Table:
+        a = np.asarray(part.column("src_a").to_pylist(), dtype=object)
+        b = np.asarray(part.column("src_b").to_pylist(), dtype=object)
+        n = part.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a_s, b_s, n_s = a[order], b[order], n[order]
+        fm = first_mask(a_s) | first_mask(b_s)
+        starts = np.flatnonzero(fm)
+        sums = np.add.reduceat(n_s, starts) if len(n_s) else np.empty(0, np.int64)
+        return pa.table({
+            "src_a": pa.array(a_s[starts], type=pa.string()),
+            "src_b": pa.array(b_s[starts], type=pa.string()),
+            "n_shared": pa.array(sums, type=pa.int64()),
+        })
+
+    rows = ds.select_columns([key_col, text_col]).map_batches(
+        shingle_src_rows, batch_format="pyarrow")
+    partials = grouped_apply(rows, ["g"], pair_partials,
+                             num_partitions=num_partitions)
+    return grouped_apply(partials, ["src_a", "src_b"], combine,
+                         num_partitions=max(4, num_partitions // 8))

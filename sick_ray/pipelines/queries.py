@@ -2549,6 +2549,166 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_cap_per_source(sf_dir: str, cap: int = 10):
+    """Hot-source capping (RefinedWeb/C4 per-domain limit): keep at most
+    ``cap`` docs per source — deterministically the lowest doc_ids — and
+    flag every row. See functions/curate.py::cap_per_source for the
+    operator core (per-batch partial top-N, winner-set broadcast, corpus
+    never shuffles)."""
+    from sick_ray.functions.curate import cap_per_source
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return cap_per_source(docs, cap=cap,
+                          num_partitions=QCFG.num_partitions)
+
+
+SQL_CAP_PER_SOURCE = """
+SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10 AS keep
+FROM documents
+"""
+
+
+def q_novelty_docs(sf_dir: str, k: int = 8):
+    """Per-doc 8-gram novelty ppm (owner = lowest doc_id containing the
+    shingle corpus-wide) — the dedup-effectiveness / memorization-risk
+    diagnostic. See functions/curate.py::novelty_stats for the operator
+    core (distinct 16 B shingle rows, owner + per-doc partials folded in
+    ONE shingle-keyed reduce, narrow doc-keyed combine). The oracle
+    recomputes from exact shingle STRINGS; the engine uses 64-bit rolling
+    hashes — a collision would undercount one shingle (~n²/2⁶⁴)."""
+    from sick_ray.functions.curate import novelty_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return novelty_stats(docs, k=k, num_partitions=QCFG.num_partitions)
+
+
+SQL_NOVELTY_DOCS = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(l[i:i+7], ' ')
+                 for i in generate_series(1, greatest(len(l) - 7, 0))]) AS g
+  FROM t
+),
+own AS (SELECT g, min(doc_id) AS owner FROM sh GROUP BY g),
+agg AS (
+  SELECT s.doc_id, count(*) AS n_shingles,
+         CAST(count(*) FILTER (WHERE s.doc_id = o.owner) AS BIGINT)
+           AS n_novel
+  FROM sh s JOIN own o USING (g) GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       (n_novel * 1000000) // n_shingles AS novel_ppm
+FROM agg
+"""
+
+
+def q_source_overlap(sf_dir: str, k: int = 8):
+    """Cross-source n-gram leakage matrix: distinct 8-gram shingles
+    shared by each unordered source pair — the corpus-overlap audit run
+    before mixing corpora. See functions/curate.py::source_overlap
+    (distinct shingle-source rows, counted-cap pair emission that raises
+    on truncation — counting semantics, never a silent undercount —
+    per-partition pair pre-aggregation). Oracle uses exact shingle
+    strings; the engine's 64-bit hashes collide with prob ~n²/2⁶⁴."""
+    from sick_ray.functions.curate import source_overlap
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return source_overlap(docs, k=k, num_partitions=QCFG.num_partitions)
+
+
+SQL_SOURCE_OVERLAP = """
+WITH t AS (
+  SELECT source, regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         unnest([array_to_string(l[i:i+7], ' ')
+                 for i in generate_series(1, greatest(len(l) - 7, 0))]) AS g
+  FROM t
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+def q_quality_classifier(sf_dir: str):
+    """Trained quality classifier: distributed full-batch logistic
+    regression over per-doc text features (bias, n_tokens/100, distinct
+    ratio, top-token ratio), label = the exact integer lexical-diversity
+    rule — the supervised twin of kmeans_embeddings' iterative pattern
+    (fasttext-style quality filtering). See stages/classify.py. Output
+    (doc_id, label, pred) — integer classes only, so the oracle (the
+    SAME 25-iteration GD retrained in a recursive CTE, anchor CAST to
+    DOUBLE) compares exactly. VALIDITY DOMAIN: measured min |z| margin
+    7.9e-3 (sf0.01) / 4.0e-4 (sf0.1) vs ~1e-13 weight drift from float
+    summation order; accuracy 95.6%/95.4% on balanced classes (a
+    degenerate always-majority model is rejected by the pytest gate)."""
+    from sick_ray.stages.classify import train_logreg_quality
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored, _w = train_logreg_quality(docs)
+    return scored
+
+
+SQL_QUALITY_CLASSIFIER = """
+WITH RECURSIVE
+tokc AS (
+  SELECT doc_id, t, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+')) AS t
+        FROM documents)
+  GROUP BY doc_id, t
+),
+cnt AS (
+  SELECT doc_id, sum(c) AS n_tok, count(*) AS n_dist, max(c) AS top
+  FROM tokc GROUP BY doc_id
+),
+feats AS (
+  SELECT d.doc_id,
+         1.0 AS x0,
+         coalesce(c.n_tok, 0) / 100.0 AS x1,
+         CASE WHEN coalesce(c.n_tok, 0) > 0
+              THEN CAST(c.n_dist AS DOUBLE) / c.n_tok ELSE 0.0 END AS x2,
+         CASE WHEN coalesce(c.n_tok, 0) > 0
+              THEN CAST(c.top AS DOUBLE) / c.n_tok ELSE 0.0 END AS x3,
+         CASE WHEN coalesce(c.n_dist, 0) * 2 >= coalesce(c.n_tok, 0)
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM documents d LEFT JOIN cnt c USING (doc_id)
+),
+-- anchor MUST cast to DOUBLE: the recursive CTE takes its column types
+-- from the anchor row, and a bare 0.0 literal is DECIMAL(2,1) — which
+-- silently rounds every weight to one decimal per iteration
+it(i, w0, w1, w2, w3) AS (
+  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT i + 1,
+         w0 - 2.0 * g0 / n, w1 - 2.0 * g1 / n,
+         w2 - 2.0 * g2 / n, w3 - 2.0 * g3 / n
+  FROM (
+    SELECT i, w0, w1, w2, w3, count(*) AS n,
+           sum((1/(1+exp(-(w0*x0+w1*x1+w2*x2+w3*x3))) - y) * x0) AS g0,
+           sum((1/(1+exp(-(w0*x0+w1*x1+w2*x2+w3*x3))) - y) * x1) AS g1,
+           sum((1/(1+exp(-(w0*x0+w1*x1+w2*x2+w3*x3))) - y) * x2) AS g2,
+           sum((1/(1+exp(-(w0*x0+w1*x1+w2*x2+w3*x3))) - y) * x3) AS g3
+    FROM feats, it WHERE i < 25
+    GROUP BY i, w0, w1, w2, w3
+  )
+)
+SELECT f.doc_id, CAST(y AS BIGINT) AS label,
+       CAST(CASE WHEN w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 >= 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM feats f, (SELECT * FROM it WHERE i = 25) w
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str, k: int = 3):
     """Per-document keyword extraction: top-``k`` terms by tf/df (tf-idf
     with the constant corpus-size factor dropped — monotone-equivalent
@@ -3115,6 +3275,10 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "embedding_centroids": q_embedding_centroids,
     "chunk_dedup_docs": q_chunk_dedup_docs,
+    "cap_per_source": q_cap_per_source,
+    "novelty_docs": q_novelty_docs,
+    "quality_classifier": q_quality_classifier,
+    "source_overlap": q_source_overlap,
     "tfidf_top_terms": q_tfidf_top_terms,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
@@ -3178,6 +3342,10 @@ ORACLES = {
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "chunk_dedup_docs": SQL_CHUNK_DEDUP_DOCS,
+    "cap_per_source": SQL_CAP_PER_SOURCE,
+    "novelty_docs": SQL_NOVELTY_DOCS,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "curated_corpus": SQL_CURATED_CORPUS,
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,

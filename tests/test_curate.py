@@ -358,3 +358,167 @@ def test_chunk_dedup_mixed_ascii_nonascii(ray_session, tmp_path):
     # the Unicode tokenizer lowercases and keeps letter runs
     assert "caf" in out.loc[2, "text_kept"]
     assert out.loc[2, "n_kept"] == 1
+
+
+def test_cap_per_source_reference_and_invariance(ray_session):
+    """cap_per_source keeps exactly the ``cap`` lowest doc_ids per
+    source (pandas reference) and is partition-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sick_ray.functions.curate import cap_per_source
+
+    sf = "/root/testdata/sf0.01"
+    docs = rd.read_parquet(sf + "/documents.parquet",
+                           columns=["doc_id", "source"])
+    got = (cap_per_source(docs, cap=7, num_partitions=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    got2 = (cap_per_source(docs, cap=7, num_partitions=13).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+
+    ref = pd.read_parquet(sf + "/documents.parquet",
+                          columns=["doc_id", "source"])
+    ref["rank"] = ref.sort_values("doc_id").groupby("source").cumcount()
+    ref_keep = ref.sort_values("doc_id").reset_index(drop=True)["rank"] < 7
+    assert (got["keep"].to_numpy() == ref_keep.to_numpy()).all()
+    per_src = got[got["keep"]].groupby("source").size()
+    assert (per_src <= 7).all() and len(per_src) > 1
+
+
+def test_cap_per_source_cap_exceeds_group(ray_session):
+    """A cap larger than every group keeps everything."""
+    import ray.data as rd
+
+    from sick_ray.functions.curate import cap_per_source
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "source"])
+    got = cap_per_source(docs, cap=10**6, num_partitions=4).to_pandas()
+    assert got["keep"].all()
+
+
+def test_novelty_stats_reference(ray_session):
+    """novelty_stats matches a single-process Python reference (exact
+    string shingles, owner = min doc_id) and is partition-invariant;
+    docs shorter than k tokens emit nothing."""
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from sick_ray.functions.curate import novelty_stats
+
+    sf = "/root/testdata/sf0.001"
+    k = 8
+    docs = rd.read_parquet(sf + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = (novelty_stats(docs, k=k, num_partitions=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    got2 = (novelty_stats(docs, k=k, num_partitions=9).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+
+    ref = pd.read_parquet(sf + "/documents.parquet",
+                          columns=["doc_id", "text"])
+    per_doc = {}
+    owner = {}
+    for did, text in sorted(zip(ref["doc_id"], ref["text"])):
+        toks = re.findall(r"[0-9a-z]+", (text or "").lower())
+        sh = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+        per_doc[did] = sh
+        for g in sh:
+            owner.setdefault(g, did)
+    want = {
+        did: (len(sh), sum(1 for g in sh if owner[g] == did))
+        for did, sh in per_doc.items() if sh
+    }
+    assert dict(zip(got["doc_id"],
+                    zip(got["n_shingles"], got["n_novel"]))) == want
+    assert (got["novel_ppm"]
+            == got["n_novel"] * 1_000_000 // got["n_shingles"]).all()
+    # at least one doc is fully novel and (if dups exist) one is not
+    assert (got["novel_ppm"] == 1_000_000).any()
+
+
+def test_novelty_stats_short_docs_absent(ray_session, tmp_path):
+    """Docs with fewer than k tokens must be absent from the output."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sick_ray.functions.curate import novelty_stats
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": ["only three tokens", "a b c d e f g h i j"],
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    docs = rd.read_parquet(str(tmp_path / "documents.parquet"))
+    got = novelty_stats(docs, k=8, num_partitions=2).to_pandas()
+    assert got["doc_id"].tolist() == [2]
+    assert got["n_shingles"].iloc[0] == 3 and got["n_novel"].iloc[0] == 3
+
+
+def test_source_overlap_reference_and_invariance(ray_session):
+    """source_overlap matches a single-process Python reference (exact
+    string shingles) and is partition-invariant; a planted shared
+    shingle between exactly two sources is counted once."""
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from sick_ray.functions.curate import source_overlap
+
+    sf = "/root/testdata/sf0.001"
+    k = 8
+    docs = rd.read_parquet(sf + "/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    got = (source_overlap(docs, k=k, num_partitions=4).to_pandas()
+           .sort_values(["src_a", "src_b"]).reset_index(drop=True))
+    got2 = (source_overlap(docs, k=k, num_partitions=9).to_pandas()
+            .sort_values(["src_a", "src_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+
+    ref = pd.read_parquet(sf + "/documents.parquet",
+                          columns=["source", "text"])
+    by_src: dict[str, set] = {}
+    for src, text in zip(ref["source"], ref["text"]):
+        toks = re.findall(r"[0-9a-z]+", (text or "").lower())
+        by_src.setdefault(src, set()).update(
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1))
+    want = {}
+    srcs = sorted(by_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            n = len(by_src[a] & by_src[b])
+            if n:
+                want[(a, b)] = n
+    assert {(a, b): n for a, b, n in
+            zip(got["src_a"], got["src_b"], got["n_shared"])} == want
+    assert len(got) > 0                       # the corpus overlaps
+
+
+def test_source_overlap_planted(ray_session, tmp_path):
+    """Two docs in different sources sharing one 8-gram → exactly one
+    pair row with n_shared == 1; a third disjoint source contributes no
+    rows."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sick_ray.functions.curate import source_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "source": ["sA", "sB", "sC"],
+        "text": [shared + " tail one here now",
+                 "lead words go first " + shared,
+                 "completely different tokens with no overlap at all ok"],
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    docs = rd.read_parquet(str(tmp_path / "documents.parquet"))
+    got = source_overlap(docs, k=8, num_partitions=2).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["src_a"] == "sA" and got.iloc[0]["src_b"] == "sB"
+    assert got.iloc[0]["n_shared"] == 1

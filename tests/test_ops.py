@@ -334,6 +334,39 @@ def test_kmeans_lloyd_matches_local_reference(ray_session):
     assert len(np.unique(ref_a)) > 1          # the clustering is non-trivial
 
 
+def test_quality_classifier_learns_and_matches_reference(ray_session):
+    """Distributed logistic GD must reproduce a single-process numpy GD
+    (same init/update/features) AND actually learn: accuracy well above
+    both class priors (rejects the all-majority degenerate model)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sick_ray.stages.classify import doc_features_labels, train_logreg_quality
+
+    sf = "/root/testdata/sf0.01"
+    docs = rd.read_parquet(sf + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    scored, w = train_logreg_quality(docs)
+    got = scored.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    tbl = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    X, y = doc_features_labels(tbl)
+    X, y = X[order], y[order]
+    w_ref = np.zeros(4)
+    for _ in range(25):
+        p = 1.0 / (1.0 + np.exp(-(X @ w_ref)))
+        w_ref = w_ref - 2.0 * ((p - y) @ X) / len(y)
+    assert np.allclose(w, w_ref, atol=1e-9)
+    assert (got["label"].to_numpy() == y.astype(np.int64)).all()
+    assert (got["pred"].to_numpy() == (X @ w_ref >= 0).astype(np.int64)).all()
+    acc = float((got["pred"] == got["label"]).mean())
+    prior = max(float(got["label"].mean()), 1 - float(got["label"].mean()))
+    assert acc > 0.9 and acc > prior + 0.05, (acc, prior)
+    assert 0 < int(got["pred"].sum()) < len(got)   # not degenerate
+
+
 def test_semdedup_matches_local_reference(ray_session):
     """semdedup must reproduce a single-process numpy reference: cluster
     with the same Lloyd, then inside each cluster drop any vector with
