@@ -742,3 +742,122 @@ def source_overlap(ds, k: int = 8, key_col: str = "source",
                              num_partitions=num_partitions)
     return grouped_apply(partials, ["src_a", "src_b"], combine,
                          num_partitions=max(4, num_partitions // 8))
+
+
+def dsir_scores(ds, target_mod: int = 50, target_res: int = 0,
+                id_col: str = "doc_id", text_col: str = "text",
+                num_partitions: int = 64):
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each corpus
+    doc by how target-like its unigram distribution is. This variant is
+    a deterministic INTEGER ratio — per-term score
+    ``(target_count · 10⁹) // corpus_count`` summed over the doc's token
+    occurrences, divided by n_tokens — instead of the paper's hashed
+    log-likelihood ratio, so a SQL oracle reproduces it exactly (same
+    reason gopher/tfidf use exact-ppm integers). The target set here is
+    ``doc_id % target_mod == target_res`` (the decontamination
+    convention); swap for a real reference corpus in production.
+
+    Dataset (doc_id, n_tokens, dsir_score) over NON-target docs; docs
+    with zero tokens are absent (no occurrences to join).
+
+    Ray shape (100 TB): map emits per-batch per-term (hash, t, s) count
+    partials (16-24 B rows); ONE term-keyed shuffle sums them and keeps
+    only terms with target_count > 0 (everything else scores 0 and never
+    needs to ship); that score table is assembled in-cluster and probed
+    per batch with a guarded searchsorted — the corpus text never
+    shuffles. Above a ~2M-term score table swap the broadcast for a join
+    on the token stream (BROADCAST_KEYS_LIMIT convention). Integer
+    bound: target_count·10⁹ needs HUGEINT above ~9.2e9 occurrences of
+    one term in the target (the sample_docs overflow convention).
+    """
+    import ray
+
+    from sick_ray.shuffle import assemble_blocks, grouped_apply
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        th, offs = tokenize_hashes_col(col)
+        tdoc = _doc_index(offs)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        is_t = (ids % target_mod == target_res)[tdoc]
+        h = th.view(np.int64)
+        order = np.lexsort((is_t, h))
+        h_s, t_s = h[order], is_t[order]
+        fm = first_mask(h_s) | first_mask(t_s)
+        starts = np.flatnonzero(fm)
+        lens = np.diff(np.append(starts, len(h_s)))
+        return pa.table({
+            "h": pa.array(h_s[starts]),
+            "t": pa.array(np.where(t_s[starts], lens, 0), type=pa.int64()),
+            "s": pa.array(np.where(t_s[starts], 0, lens), type=pa.int64()),
+        })
+
+    def term_scores(part: pa.Table) -> pa.Table:
+        h = part.column("h").to_numpy(zero_copy_only=False)
+        t = part.column("t").to_numpy(zero_copy_only=False)
+        s = part.column("s").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h_s = h[order]
+        starts = np.flatnonzero(first_mask(h_s))
+        tt = np.add.reduceat(t[order], starts) if len(h_s) else np.empty(0, np.int64)
+        ss = np.add.reduceat(s[order], starts) if len(h_s) else np.empty(0, np.int64)
+        keep = tt > 0                 # zero-score terms never ship
+        sc = tt[keep] * 1_000_000_000 // np.maximum(ss[keep], 1)
+        sc[ss[keep] == 0] = 0         # target-only terms never probed
+        return pa.table({
+            "h": pa.array(h_s[starts][keep]),
+            "sc": pa.array(sc, type=pa.int64()),
+        })
+
+    counts = ds.select_columns([id_col, text_col]).map_batches(
+        count_rows, batch_format="pyarrow")
+    scores = grouped_apply(counts, ["h"], term_scores,
+                           num_partitions=num_partitions).materialize()
+
+    def finalize_scores(tbl: pa.Table):
+        h = tbl.column("h").to_numpy(zero_copy_only=False)
+        sc = tbl.column("sc").to_numpy(zero_copy_only=False)
+        o = np.argsort(h, kind="stable")
+        return np.ascontiguousarray(h[o]), np.ascontiguousarray(sc[o])
+
+    score_ref = assemble_blocks(
+        scores, ["h", "sc"], finalize_scores,
+        empty=(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)),
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        nt_doc = ids % target_mod != target_res
+        b = batch.filter(pa.array(nt_doc))
+        if b.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "dsir_score": pa.array([], type=pa.int64()),
+            })
+        col = b.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        th, offs = tokenize_hashes_col(col)
+        h = th.view(np.int64)
+        hs, sc = ray.get(score_ref)
+        pos = np.searchsorted(hs, h)
+        np.clip(pos, 0, max(len(hs) - 1, 0), out=pos)
+        tok_sc = np.where((hs[pos] == h) if len(hs) else False, sc[pos], 0)
+        n_docs = b.num_rows
+        n_tok = np.diff(offs)
+        tot = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(tot, _doc_index(offs), tok_sc)
+        keep = n_tok > 0              # zero-token docs have no occurrences
+        bids = b.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(bids[keep], type=pa.int64()),
+            "n_tokens": pa.array(n_tok[keep], type=pa.int64()),
+            "dsir_score": pa.array(tot[keep] // n_tok[keep], type=pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pyarrow")

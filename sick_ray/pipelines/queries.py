@@ -2638,6 +2638,50 @@ GROUP BY 1, 2
 """
 
 
+def q_dsir_score_docs(sf_dir: str):
+    """DSIR-style importance scores (Xie et al. 2023) for corpus docs vs
+    a target set (doc_id % 50 == 0, the decontamination convention) — an
+    exact integer-ratio variant so the oracle reproduces it exactly. See
+    functions/curate.py::dsir_scores (one term-keyed count shuffle,
+    target-relevant score table broadcast in-cluster, per-batch
+    searchsorted probe — corpus text never shuffles)."""
+    from sick_ray.functions.curate import dsir_scores
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dsir_scores(docs, num_partitions=QCFG.num_partitions)
+
+
+SQL_DSIR_SCORE_DOCS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z]+'))
+           AS term
+  FROM documents
+),
+tc AS (
+  SELECT term,
+         sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS t,
+         sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) AS s
+  FROM tok GROUP BY term
+),
+sc AS (
+  SELECT term,
+         CASE WHEN s > 0 THEN (t * 1000000000) // s ELSE 0 END AS sc
+  FROM tc WHERE t > 0
+),
+d AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         sum(coalesce(sc.sc, 0)) AS tot
+  FROM tok t LEFT JOIN sc USING (term)
+  WHERE t.doc_id % 50 <> 0
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(tot // n_tokens AS BIGINT) AS dsir_score
+FROM d
+"""
+
+
 def q_quality_classifier(sf_dir: str):
     """Trained quality classifier: distributed full-batch logistic
     regression over per-doc text features (bias, n_tokens/100, distinct
@@ -3279,6 +3323,7 @@ QUERIES = {
     "novelty_docs": q_novelty_docs,
     "quality_classifier": q_quality_classifier,
     "source_overlap": q_source_overlap,
+    "dsir_score_docs": q_dsir_score_docs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup_embeddings": q_semdedup_embeddings,
@@ -3346,6 +3391,7 @@ ORACLES = {
     "novelty_docs": SQL_NOVELTY_DOCS,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "dsir_score_docs": SQL_DSIR_SCORE_DOCS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "curated_corpus": SQL_CURATED_CORPUS,
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,

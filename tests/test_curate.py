@@ -522,3 +522,49 @@ def test_source_overlap_planted(ray_session, tmp_path):
     assert len(got) == 1
     assert got.iloc[0]["src_a"] == "sA" and got.iloc[0]["src_b"] == "sB"
     assert got.iloc[0]["n_shared"] == 1
+
+
+def test_dsir_scores_reference_and_invariance(ray_session):
+    """dsir_scores matches a single-process Python reference (exact
+    integer term-ratio scores) and is partition/batch-invariant; target
+    docs are excluded and high scores mean target-like."""
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from sick_ray.functions.curate import dsir_scores
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(sf + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = (dsir_scores(docs, num_partitions=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    got2 = (dsir_scores(docs, num_partitions=11).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+
+    ref = pd.read_parquet(sf + "/documents.parquet",
+                          columns=["doc_id", "text"])
+    t_cnt: dict[str, int] = {}
+    s_cnt: dict[str, int] = {}
+    toks_by_doc = {}
+    for did, text in zip(ref["doc_id"], ref["text"]):
+        toks = re.findall(r"[0-9a-z]+", (text or "").lower())
+        toks_by_doc[did] = toks
+        tgt = did % 50 == 0
+        for tk in toks:
+            (t_cnt if tgt else s_cnt)[tk] = (t_cnt if tgt else s_cnt).get(tk, 0) + 1
+    want = {}
+    for did, toks in toks_by_doc.items():
+        if did % 50 == 0 or not toks:
+            continue
+        tot = sum(
+            (t_cnt.get(tk, 0) * 10**9) // s_cnt[tk]
+            for tk in toks if t_cnt.get(tk, 0) > 0 and s_cnt.get(tk, 0) > 0
+        )
+        want[did] = (len(toks), tot // len(toks))
+    assert dict(zip(got["doc_id"],
+                    zip(got["n_tokens"], got["dsir_score"]))) == want
+    assert (got["dsir_score"] > 0).any()      # the scorer actually fires
+    assert set(got["doc_id"]) == set(d for d in ref["doc_id"] if d % 50)
