@@ -134,7 +134,7 @@ def run_bench() -> dict:
         "chunk_dedup_docs", "tfidf_top_terms", "kmeans_embeddings",
         "semdedup_embeddings", "cap_per_source", "novelty_docs",
         "quality_classifier", "source_overlap", "dsir_score_docs",
-        "curated_corpus", "events_user_hll", "top_terms_mg",
+        "curated_corpus", "curated_packed", "events_user_hll", "top_terms_mg",
         "price_quantiles_sketch", "weighted_mix_docs", "pack_sequences",
         "stratified_sample_docs",
     ):

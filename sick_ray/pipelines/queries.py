@@ -2981,6 +2981,80 @@ FROM red r LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_curated_packed(sf_dir: str):
+    """The FULL training-data pipeline as one composition: curation
+    (Gopher filter → PII redact → chunk dedup, q_curated_corpus's exact
+    chain) → deterministic 80% hash sample over the SURVIVING docs →
+    GPT-style sequence packing of the DEDUPED text (token budget 2048,
+    +1 EOS per doc, doc_id-hash shards). Oracle = the same chained CTEs:
+    SQL_CURATED_CORPUS verbatim as a subquery, the HUGEINT-safe sample
+    predicate, and the window-cumsum pack twin — so the whole pipeline
+    is oracle-checked end-to-end, not just its stages. Output one row
+    per packed doc: (doc_id, shard, tok, seq_start, seq_end,
+    seq_offset), all exact integers."""
+    from sick_ray.functions.curate import weighted_sample_mask
+    from sick_ray.stages.minhash import tokenize_hashes_col
+
+    curated = q_curated_corpus(sf_dir)
+
+    def sample_count_shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        m = weighted_sample_mask(ids, np.full(len(ids), 800, dtype=np.int64))
+        b = batch.filter(pa.array(m))
+        ids_k = b.column("doc_id").to_numpy(zero_copy_only=False)
+        col = b.column("text_kept")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        _, offs = tokenize_hashes_col(col)
+        return pa.table({
+            "doc_id": pa.array(ids_k, type=pa.int64()),
+            "shard": pa.array(ids_k % N_PACK_SHARDS, type=pa.int64()),
+            "tok": pa.array(np.diff(offs) + 1, type=pa.int64()),  # +EOS
+        })
+
+    slim = curated.map_batches(sample_count_shard, batch_format="pyarrow")
+
+    def pack(group: pa.Table) -> pa.Table:
+        g = group.take(pc.sort_indices(group, sort_keys=[("doc_id", "ascending")]))
+        tok = g.column("tok").to_numpy(zero_copy_only=False)
+        start = np.cumsum(tok) - tok
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "shard": g.column("shard"),
+            "tok": g.column("tok"),
+            "seq_start": pa.array(start // PACK_BUDGET, pa.int64()),
+            "seq_end": pa.array((start + tok - 1) // PACK_BUDGET, pa.int64()),
+            "seq_offset": pa.array(start % PACK_BUDGET, pa.int64()),
+        })
+
+    return slim.groupby("shard").map_groups(pack, batch_format="pyarrow")
+
+
+SQL_CURATED_PACKED = "WITH cur AS (" + SQL_CURATED_CORPUS + """),
+samp AS (
+  SELECT doc_id, text_kept FROM cur
+  WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000 < 800
+),
+t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_extract_all(text_kept, '[0-9a-z]+')) AS BIGINT)
+           + 1 AS tok
+  FROM samp
+),
+c AS (
+  SELECT doc_id, shard, tok,
+         SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - tok AS start_pos
+  FROM t
+)
+SELECT doc_id, shard, tok,
+       CAST(start_pos // 2048 AS BIGINT) AS seq_start,
+       CAST((start_pos + tok - 1) // 2048 AS BIGINT) AS seq_end,
+       CAST(start_pos % 2048 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 def q_events_distinct_users(sf_dir: str):
     """EXACT per-event-type distinct-user counts — the shuffle-heavy twin
     the HLL sketch (q_events_user_hll) avoids: per-batch distinct
@@ -3332,6 +3406,7 @@ QUERIES = {
     "top_terms_mg": q_top_terms_mg,
     "price_quantiles_sketch": q_price_quantiles_sketch,
     "curated_corpus": q_curated_corpus,
+    "curated_packed": q_curated_packed,
 }
 
 ORACLES = {
@@ -3394,6 +3469,7 @@ ORACLES = {
     "dsir_score_docs": SQL_DSIR_SCORE_DOCS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "curated_corpus": SQL_CURATED_CORPUS,
+    "curated_packed": SQL_CURATED_PACKED,
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
     "semdedup_embeddings": SQL_SEMDEDUP_EMBEDDINGS,
     "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
