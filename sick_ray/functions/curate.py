@@ -844,9 +844,14 @@ def dsir_scores(ds, target_mod: int = 50, target_res: int = 0,
         th, offs = tokenize_hashes_col(col)
         h = th.view(np.int64)
         hs, sc = ray.get(score_ref)
-        pos = np.searchsorted(hs, h)
-        np.clip(pos, 0, max(len(hs) - 1, 0), out=pos)
-        tok_sc = np.where((hs[pos] == h) if len(hs) else False, sc[pos], 0)
+        if len(hs):
+            pos = np.searchsorted(hs, h)
+            np.clip(pos, 0, len(hs) - 1, out=pos)
+            tok_sc = np.where(hs[pos] == h, sc[pos], 0)
+        else:
+            # empty target (or no term with target_count > 0): every
+            # occurrence scores 0 — sc[pos] on an empty table would raise
+            tok_sc = np.zeros(len(h), dtype=np.int64)
         n_docs = b.num_rows
         n_tok = np.diff(offs)
         tot = np.zeros(n_docs, dtype=np.int64)

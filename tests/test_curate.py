@@ -568,3 +568,22 @@ def test_dsir_scores_reference_and_invariance(ray_session):
                     zip(got["n_tokens"], got["dsir_score"]))) == want
     assert (got["dsir_score"] > 0).any()      # the scorer actually fires
     assert set(got["doc_id"]) == set(d for d in ref["doc_id"] if d % 50)
+
+
+def test_dsir_scores_empty_target(ray_session, tmp_path):
+    """A corpus with NO target docs (nothing matches doc_id % 50 == 0)
+    must score every doc 0, not crash probing an empty score table."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sick_ray.functions.curate import dsir_scores
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["alpha beta gamma", "delta epsilon", "zeta eta theta"],
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    docs = rd.read_parquet(str(tmp_path / "documents.parquet"))
+    got = dsir_scores(docs, num_partitions=2).to_pandas()
+    assert sorted(got["doc_id"]) == [1, 2, 3]
+    assert (got["dsir_score"] == 0).all()
