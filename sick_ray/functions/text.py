@@ -20,6 +20,24 @@ from sick_ray.stages.suffix import _concat_docs_col, window_hashes
 
 TOKEN_PATTERN = r"[0-9A-Za-z]+"          # ASCII alnum runs (oracle-parity safe)
 
+# GPT-2-style pre-tokenizer, adapted to RE2 (no lookaround: the original's
+# trailing-space lookahead is dropped, so runs of spaces count as one token
+# and a token's leading space binds to it — the BPE-ish approximation the
+# brief asks for, NOT a byte-pair vocabulary). RE2 on both sides: pyarrow
+# count_substring_regex and DuckDB regexp_extract_all count identically.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+WS_PATTERN = r"\S+"                      # whitespace-separated tokens
+
+
+def add_token_count_bpe(batch: pa.Table) -> pa.Table:
+    """Whitespace + BPE-ish token counts per doc — the two quick
+    pretraining-cost estimators (words vs subword-ish units)."""
+    text = batch.column("text")
+    ws = pc.count_substring_regex(text, WS_PATTERN)
+    bpe = pc.count_substring_regex(text, BPE_PATTERN)
+    out = batch.append_column("ws_tokens", ws.cast(pa.int64()))
+    return out.append_column("bpe_tokens", bpe.cast(pa.int64()))
+
 
 def add_token_count(batch: pa.Table) -> pa.Table:
     """token_count = number of ASCII-alnum token matches (RE2, same

@@ -118,6 +118,28 @@ FROM documents
 """
 
 
+def q_token_count_bpe_docs(sf_dir: str):
+    """Whitespace + BPE-ish (GPT-2-style pre-tokenizer, RE2-adapted)
+    token counts per doc — see functions/text.py::add_token_count_bpe.
+    Both patterns are RE2 on both sides, so counts are exact."""
+    from sick_ray.functions.text import add_token_count_bpe
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        add_token_count_bpe, batch_format="pyarrow"
+    ).select_columns(["doc_id", "ws_tokens", "bpe_tokens"])
+
+
+SQL_TOKEN_COUNT_BPE_DOCS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+         AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
 def q_docs_stats_by_lang(sf_dir: str):
     """Low-cardinality grouped aggregate: vectorized per-batch partials,
     tiny driver combine (pre-aggregation pattern — no full shuffle)."""
@@ -3342,6 +3364,7 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dup_group_stats": q_dup_group_stats,
     "token_count_docs": q_token_count_docs,
+    "token_count_bpe_docs": q_token_count_bpe_docs,
     "docs_stats_by_lang": q_docs_stats_by_lang,
     "filter_long_en_docs": q_filter_long_en_docs,
     "pricing_summary": q_pricing_summary,
@@ -3413,6 +3436,7 @@ ORACLES = {
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "dup_group_stats": SQL_DUP_GROUP_STATS,
     "token_count_docs": SQL_TOKEN_COUNT_DOCS,
+    "token_count_bpe_docs": SQL_TOKEN_COUNT_BPE_DOCS,
     "docs_stats_by_lang": SQL_DOCS_STATS_BY_LANG,
     "filter_long_en_docs": SQL_FILTER_LONG_EN_DOCS,
     "pricing_summary": SQL_PRICING_SUMMARY,
