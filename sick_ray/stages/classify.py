@@ -74,14 +74,34 @@ def train_logreg_quality(docs_ds, iters: int = 25, lr: float = 2.0,
     import pandas as pd
     import ray
 
-    docs_ds = docs_ds.materialize()     # consumed iters + 1 times
+    # Featurize ONCE: the corpus is tokenized a single time into a tiny
+    # (doc_id, x0..x3, y) table (~40 B/doc) that all GD iterations and
+    # the final scoring pass stream over — never re-read the text. Same
+    # floats, so the SQL oracle is unaffected.
+    def featurize(batch: pa.Table) -> pa.Table:
+        X, y = doc_features_labels(batch, text_col)
+        cols = {id_col: batch.column(id_col)}
+        for j in range(N_FEATURES):
+            cols[f"x{j}"] = pa.array(X[:, j], type=pa.float64())
+        cols["y"] = pa.array(y, type=pa.float64())
+        return pa.table(cols)
+
+    feats = docs_ds.map_batches(featurize, batch_format="pyarrow").materialize()
+
+    def xy(batch: pa.Table):
+        X = np.column_stack([
+            batch.column(f"x{j}").to_numpy(zero_copy_only=False)
+            for j in range(N_FEATURES)
+        ])
+        return X, batch.column("y").to_numpy(zero_copy_only=False)
+
     w = np.zeros(N_FEATURES, dtype=np.float64)
 
     for _ in range(iters):
         wref = ray.put(w)
 
         def gpart(batch: pa.Table) -> pa.Table:
-            X, y = doc_features_labels(batch, text_col)
+            X, y = xy(batch)
             z = X @ ray.get(wref)
             p = 1.0 / (1.0 + np.exp(-z))
             g = (p - y) @ X
@@ -91,7 +111,7 @@ def train_logreg_quality(docs_ds, iters: int = 25, lr: float = 2.0,
                 "n": pa.array(np.full(N_FEATURES, len(y), dtype=np.int64)),
             })
 
-        parts = docs_ds.map_batches(gpart, batch_format="pyarrow").to_pandas()
+        parts = feats.map_batches(gpart, batch_format="pyarrow").to_pandas()
         agg = parts.groupby("j", as_index=True).agg(
             g=("g", "sum"), n=("n", "sum")).sort_index()
         n_docs = int(agg["n"].iloc[0])
@@ -100,7 +120,7 @@ def train_logreg_quality(docs_ds, iters: int = 25, lr: float = 2.0,
     wref = ray.put(w)
 
     def score(batch: pa.Table) -> pa.Table:
-        X, y = doc_features_labels(batch, text_col)
+        X, y = xy(batch)
         z = X @ ray.get(wref)
         return pa.table({
             id_col: batch.column(id_col),
@@ -108,4 +128,4 @@ def train_logreg_quality(docs_ds, iters: int = 25, lr: float = 2.0,
             "pred": pa.array((z >= 0).astype(np.int64)),
         })
 
-    return docs_ds.map_batches(score, batch_format="pyarrow"), w
+    return feats.map_batches(score, batch_format="pyarrow"), w
