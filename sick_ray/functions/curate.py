@@ -641,8 +641,10 @@ def novelty_stats(ds, k: int = 8, id_col: str = "doc_id",
 
     rows = ds.select_columns([id_col, text_col]).map_batches(
         shingle_rows, batch_format="pyarrow")
+    # STAGED sorts: never chain two sort shuffles in one streaming
+    # execution (measured 3x regression fused; see tfidf/duplicate_spans)
     partials = grouped_apply(rows, ["sh"], owner_partials,
-                             num_partitions=num_partitions)
+                             num_partitions=num_partitions).materialize()
     return grouped_apply(partials, [id_col], combine,
                          num_partitions=num_partitions)
 
@@ -738,8 +740,10 @@ def source_overlap(ds, k: int = 8, key_col: str = "source",
 
     rows = ds.select_columns([key_col, text_col]).map_batches(
         shingle_src_rows, batch_format="pyarrow")
+    # STAGED sorts (the two-sort rule); the pair partials are tiny, so
+    # the materialize is O(n_pairs x partitions), not corpus-sized
     partials = grouped_apply(rows, ["g"], pair_partials,
-                             num_partitions=num_partitions)
+                             num_partitions=num_partitions).materialize()
     return grouped_apply(partials, ["src_a", "src_b"], combine,
                          num_partitions=max(4, num_partitions // 8))
 
