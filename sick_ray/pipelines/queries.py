@@ -25,6 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from sick_ray.config import DedupConfig
+from sick_ray.functions.urlnorm import canonicalize_urls, synth_urls
 from sick_ray.shuffle import first_mask, grouped_apply, join_partitions, sort_index
 from sick_ray.xxh import xxh64_strings
 
@@ -3360,6 +3361,296 @@ SELECT doc_id, term, score, rk FROM scored WHERE rk <= 3
 """
 
 
+def _url_group_kernel(part: pa.Table) -> pa.Table:
+    """Group (doc_id, canon_url, n_dups) rows by canon_url hash: keep the
+    min-doc_id representative, sum partial counts. Used as BOTH the
+    map-side partial (per batch — raw urls for one page are usually
+    block-adjacent, so most 3→1 collapses happen before the shuffle) and
+    the reduce-side combine; 64-bit url-hash collision risk ~n²/2⁶⁴,
+    same documented bound as novelty_docs."""
+    cu = part.column("canon_url")
+    if isinstance(cu, pa.ChunkedArray):
+        cu = cu.combine_chunks()
+    h = xxh64_strings(cu).view(np.int64)
+    did = part.column("doc_id").to_numpy(zero_copy_only=False)
+    w = part.column("n_dups").to_numpy(zero_copy_only=False)
+    order = sort_index(h, did)
+    fm = first_mask(h[order])
+    starts = np.flatnonzero(fm)
+    cnt = np.add.reduceat(w[order], starts)
+    firsts = order[fm]
+    return pa.table(
+        {
+            "doc_id": pa.array(did[firsts], type=pa.int64()),
+            "canon_url": pc.take(cu, pa.array(firsts)),
+            "n_dups": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def _add_synth_canon_urls(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    raw = synth_urls(ids)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "canon_url": canonicalize_urls(raw),
+            "n_dups": pa.array(np.ones(len(ids), dtype=np.int64)),
+        }
+    )
+
+
+def q_url_dedup_docs(sf_dir: str):
+    """URL-level dedup after canonicalization — the first dedup pass of a
+    CCNet/RefinedWeb-style pipeline: strip fragments/tracking params,
+    case-fold the authority, then keep one doc per canonical url (min
+    doc_id) with the duplicate count. The documents table carries no url
+    column, so both sides derive the SAME raw url deterministically from
+    doc_id (3 variants per page exercising every canonicalization rule —
+    the pii_redact_docs augmentation precedent; functions/urlnorm.py).
+    Shuffle rows are (hash-partitioned) post-partial survivors only; text
+    is never read."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    with_u = docs.map_batches(_add_synth_canon_urls, batch_format="pyarrow")
+    out = grouped_apply(
+        with_u, ["canon_url"], _url_group_kernel,
+        num_partitions=QCFG.num_partitions, partial=_url_group_kernel,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["kept_doc_id", "canon_url", "n_dups"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_URL_DEDUP_DOCS = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'https://site' || ((doc_id // 3) % 50)
+                       || '.example.com/p/' || (doc_id // 3)
+                       || '?id=' || (doc_id // 3)
+           WHEN 1 THEN 'https://site' || ((doc_id // 3) % 50)
+                       || '.example.com/p/' || (doc_id // 3)
+                       || '?utm_source=feed&id=' || (doc_id // 3) || '&ref=rss'
+           ELSE 'HTTPS://SITE' || ((doc_id // 3) % 50)
+                || '.Example.COM/p/' || (doc_id // 3)
+                || '/?id=' || (doc_id // 3) || '#frag'
+         END AS u
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(u,
+        '#.*$', ''),
+        '(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&#]*&', '', 'g'),
+        '[?&](utm_[a-z0-9]+|ref|fbclid|gclid)=[^&#]*$', ''),
+        '\?$', ''),
+        '/\?', '?'),
+        '/$', '') AS u6
+  FROM raw
+),
+canon AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(u6, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*')
+      THEN lower(regexp_extract(u6, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1))
+           || regexp_extract(u6, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$', 1)
+      ELSE u6 END AS canon_url
+  FROM c
+)
+SELECT canon_url, min(doc_id) AS kept_doc_id,
+       count(*) AS n_dups
+FROM canon GROUP BY canon_url
+"""
+
+
+def _fp_table_finalize(tbl: pa.Table) -> np.ndarray:
+    return np.unique(tbl.column("fp64").to_numpy(zero_copy_only=False))
+
+
+SNAPSHOT_PREFIX_CHARS = 64
+
+
+def _snapshot_fp(text_col) -> np.ndarray:
+    """Cheap snapshot content key: xxh64 of the first 64 chars — the
+    prefix-fingerprint first pass of crawl dedup (full-text fp is the
+    same code with the slice removed; the prefix variant is what actually
+    fires on this corpus and what big crawls run before the exact pass)."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    pref = pc.utf8_slice_codeunits(text_col, 0, SNAPSHOT_PREFIX_CHARS)
+    return xxh64_strings(pref).view(np.int64)
+
+
+def _old_snapshot_fps(batch: pa.Table) -> pa.Table:
+    """Distinct prefix fingerprints of the OLD snapshot half (even ids)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    b = batch.filter(pa.array(ids % 2 == 0))
+    fp = _snapshot_fp(b.column("text"))
+    return pa.table({"fp64": pa.array(np.unique(fp), type=pa.int64())})
+
+
+def q_snapshot_dedup_docs(sf_dir: str):
+    """Incremental cross-snapshot dedup — the Common-Crawl monthly-update
+    shape: docs with even doc_id stand in for the already-ingested
+    snapshot, odd doc_ids for the new crawl; keep only new docs whose
+    content key (xxh64 of the first 64 chars — the prefix-fingerprint
+    first pass; see _snapshot_fp) is absent from the old snapshot. The
+    old side reduces to distinct uint64 fingerprints assembled in-cluster
+    into one broadcast probe array (decontaminate_docs pattern — zero
+    driver traffic); new docs probe per batch with searchsorted. At
+    10^12-doc scale the old-fp set exceeds BROADCAST_KEYS_LIMIT and this
+    becomes shuffle.semi_select's Bloom-prefiltered anti join (same fp64
+    key column on both sides); the broadcast path is the ≤2M-snapshot
+    fast path. 64-bit fp collision risk ~n²/2⁶⁴ (novelty_docs bound)."""
+    import ray
+
+    from sick_ray.shuffle import assemble_blocks
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source", "n_chars"])
+    old_fps = docs.map_batches(
+        _old_snapshot_fps, batch_format="pyarrow"
+    ).materialize()
+    fp_ref = assemble_blocks(
+        old_fps, ["fp64"], _fp_table_finalize,
+        empty=np.empty(0, dtype=np.int64),
+    )
+
+    def keep_novel(batch: pa.Table) -> pa.Table:
+        old = ray.get(fp_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(ids % 2 == 1))
+        if b.num_rows == 0:
+            return b.select(["doc_id", "lang", "source", "n_chars"])
+        fp = _snapshot_fp(b.column("text"))
+        if len(old):
+            pos = np.clip(np.searchsorted(old, fp), 0, len(old) - 1)
+            novel = old[pos] != fp
+        else:
+            novel = np.ones(len(fp), dtype=bool)
+        return b.filter(pa.array(novel)).select(
+            ["doc_id", "lang", "source", "n_chars"])
+
+    return docs.map_batches(keep_novel, batch_format="pyarrow")
+
+
+SQL_SNAPSHOT_DEDUP_DOCS = """
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM documents o
+    WHERE o.doc_id % 2 = 0
+      AND substr(o.text, 1, 64) = substr(d.text, 1, 64)
+  )
+"""
+
+
+N_TRAIN_SHARDS = 16
+
+
+def _add_shard_key(batch: pa.Table) -> pa.Table:
+    """Knuth multiplicative hash → (shard_id, order key h). The hash is
+    bijective mod 2^32 (K odd), so h is collision-free for doc_id < 2^32
+    and the (h, doc_id) order is a deterministic pseudo-random permutation."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "shard_id": pa.array((h % np.uint64(N_TRAIN_SHARDS)).astype(np.int64)),
+            "h": pa.array(h.astype(np.int64)),
+        }
+    )
+
+
+def _rank_within_shards(part: pa.Table) -> pa.Table:
+    shard = part.column("shard_id").to_numpy(zero_copy_only=False)
+    h = part.column("h").to_numpy(zero_copy_only=False)
+    did = part.column("doc_id").to_numpy(zero_copy_only=False)
+    order = sort_index(shard, h, did)
+    ss = shard[order]
+    starts = np.flatnonzero(first_mask(ss))
+    pos = np.arange(len(ss), dtype=np.int64)
+    pos -= np.repeat(starts, np.diff(np.append(starts, len(ss))))
+    return pa.table(
+        {
+            "doc_id": pa.array(did[order], type=pa.int64()),
+            "shard_id": pa.array(ss, type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+        }
+    )
+
+
+def q_shard_docs(sf_dir: str):
+    """Deterministic global shuffle into training shards — the last step
+    before writing a pretraining corpus: shard = knuth_hash(doc_id) mod
+    N, position = rank of (hash, doc_id) within the shard. Reproducible
+    from ids alone (reshard/rerun-invariant, like sample_docs) and free
+    of any RNG state. One narrow 24 B/row shuffle (doc_id, shard, h);
+    ranks are assigned per shard with a vectorized segmented enumerate.
+    At 10^12 docs the shard count grows so each shard fits a reduce task
+    (the pack_sequences scaling assumption)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    keyed = docs.map_batches(_add_shard_key, batch_format="pyarrow")
+    return grouped_apply(
+        keyed, ["shard_id"], _rank_within_shards,
+        num_partitions=N_TRAIN_SHARDS,
+    )
+
+
+SQL_SHARD_DOCS = """
+WITH keyed AS (
+  SELECT doc_id,
+         ((doc_id::HUGEINT * 2654435761) % 4294967296) AS h,
+         CAST(((doc_id::HUGEINT * 2654435761) % 4294967296) % 16 AS BIGINT)
+           AS shard_id
+  FROM documents
+)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+SEARCH_PATTERNS = ["merge batch", "window table", "hash value"]
+
+
+def q_substring_search_docs(sf_dir: str):
+    """Corpus grep: one row per (doc, pattern) where the doc's text
+    contains the literal pattern — vectorized pc.match_substring per
+    pattern (pattern count is small; rows stay Arrow), zero shuffle.
+    The streaming analogue of the reference's findRoot linear scan
+    (EBAStructure.scala:34-36) applied to content instead of names."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def search(batch: pa.Table) -> pa.Table:
+        ids, outs = batch.column("doc_id"), []
+        for pat in SEARCH_PATTERNS:
+            m = pc.match_substring(batch.column("text"), pat)
+            hit = ids.filter(m)
+            outs.append(pa.table(
+                {
+                    "doc_id": hit,
+                    "pattern": pa.array([pat] * len(hit), type=pa.string()),
+                }
+            ))
+        return pa.concat_tables(outs)
+
+    return docs.map_batches(search, batch_format="pyarrow")
+
+
+SQL_SUBSTRING_SEARCH_DOCS = """
+SELECT d.doc_id, p.pattern
+FROM documents d,
+     (VALUES ('merge batch'), ('window table'), ('hash value')) AS p(pattern)
+WHERE position(p.pattern IN d.text) > 0
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dup_group_stats": q_dup_group_stats,
@@ -3430,6 +3721,10 @@ QUERIES = {
     "price_quantiles_sketch": q_price_quantiles_sketch,
     "curated_corpus": q_curated_corpus,
     "curated_packed": q_curated_packed,
+    "url_dedup_docs": q_url_dedup_docs,
+    "snapshot_dedup_docs": q_snapshot_dedup_docs,
+    "shard_docs": q_shard_docs,
+    "substring_search_docs": q_substring_search_docs,
 }
 
 ORACLES = {
@@ -3497,6 +3792,10 @@ ORACLES = {
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
     "semdedup_embeddings": SQL_SEMDEDUP_EMBEDDINGS,
     "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
+    "url_dedup_docs": SQL_URL_DEDUP_DOCS,
+    "snapshot_dedup_docs": SQL_SNAPSHOT_DEDUP_DOCS,
+    "shard_docs": SQL_SHARD_DOCS,
+    "substring_search_docs": SQL_SUBSTRING_SEARCH_DOCS,
     # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
     # embedding_near_dup / media_decode: not SQL-expressible
     # (content-addressed ids, spans drift, LSH/IVF approximation,

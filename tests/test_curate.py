@@ -587,3 +587,44 @@ def test_dsir_scores_empty_target(ray_session, tmp_path):
     got = dsir_scores(docs, num_partitions=2).to_pandas()
     assert sorted(got["doc_id"]) == [1, 2, 3]
     assert (got["dsir_score"] == 0).all()
+
+
+# ---------------------------------------------------------------- urlnorm
+
+def test_canonicalize_urls_rules():
+    from sick_ray.functions.urlnorm import canonicalize_urls
+
+    cases = [
+        # fragment stripped
+        ("https://a.b/x#frag", "https://a.b/x"),
+        # tracking params dropped wherever they sit; separators collapse
+        ("https://a.b/x?a=1&utm_x=2&b=3#f", "https://a.b/x?a=1&b=3"),
+        ("https://h/x?utm_a=1", "https://h/x"),
+        ("https://h/x?gclid=9&id=2", "https://h/x?id=2"),
+        ("https://h/x?id=2&fbclid=9", "https://h/x?id=2"),
+        # trailing slash stripped, incl. before the query
+        ("http://Host/", "http://host"),
+        ("https://H/p/?id=1", "https://h/p?id=1"),
+        # authority case-folded, path/query case preserved
+        ("HTTPS://WWW.Ex.COM/Path?Q=V", "https://www.ex.com/Path?Q=V"),
+        # no scheme → rules 1-4 only, no case fold
+        ("Relative/Path/?ref=z", "Relative/Path"),
+        # non-tracking urls untouched
+        ("https://a.b/x?a=1&b=2", "https://a.b/x?a=1&b=2"),
+    ]
+    got = canonicalize_urls(pa.array([c[0] for c in cases])).to_pylist()
+    for (raw, want), g in zip(cases, got):
+        assert g == want, f"{raw!r}: {g!r} != {want!r}"
+
+
+def test_synth_urls_canonicalize_to_one_per_page():
+    from sick_ray.functions.urlnorm import canonicalize_urls, synth_urls
+
+    ids = np.arange(300, dtype=np.int64)
+    canon = canonicalize_urls(synth_urls(ids)).to_pylist()
+    # all three variants of a page collapse to the same canonical url
+    for i in range(0, 300, 3):
+        assert canon[i] == canon[i + 1] == canon[i + 2]
+    assert len(set(canon)) == 100
+    page = 7
+    assert canon[page * 3] == f"https://site{page % 50}.example.com/p/{page}?id={page}"
