@@ -15,6 +15,13 @@ specific construction):
 4. strip a trailing path slash (before ``?`` or at end)
 5. lowercase the scheme+authority (path/query stay case-sensitive per
    RFC 3986 §6.2.2.1)
+
+The canonicalizer is idempotent (canon(canon(u)) == canon(u) — property
+tested). Known regex-approximation caveat, identical on the engine and
+DuckDB sides: rule 2 has no leading-separator guard (needed so runs of
+consecutive tracking params strip in one pass under RE2's non-overlapping
+global replace), so a pathological VALUE containing ``utm_x=...&`` is
+also stripped; a query-string parser would not be vectorizable.
 """
 
 from __future__ import annotations
@@ -45,8 +52,8 @@ def canonicalize_urls(col) -> pa.Array:
         u, pattern=r"[?&]" + _TRACKING + r"=[^&#]*$", replacement=""
     )
     u = pc.replace_substring_regex(u, pattern=r"\?$", replacement="")
-    u = pc.replace_substring_regex(u, pattern=r"/\?", replacement="?")
-    u = pc.replace_substring_regex(u, pattern=r"/$", replacement="")
+    u = pc.replace_substring_regex(u, pattern=r"/+\?", replacement="?")
+    u = pc.replace_substring_regex(u, pattern=r"/+$", replacement="")
     parts = pc.extract_regex(u, pattern=_AUTH_RE)
     auth = pc.struct_field(parts, "auth")
     rest = pc.struct_field(parts, "rest")

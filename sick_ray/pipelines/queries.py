@@ -3447,8 +3447,8 @@ c AS (
         '(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&#]*&', '', 'g'),
         '[?&](utm_[a-z0-9]+|ref|fbclid|gclid)=[^&#]*$', ''),
         '\?$', ''),
-        '/\?', '?'),
-        '/$', '') AS u6
+        '/+\?', '?'),
+        '/+$', '') AS u6
   FROM raw
 ),
 canon AS (

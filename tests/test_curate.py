@@ -628,3 +628,23 @@ def test_synth_urls_canonicalize_to_one_per_page():
     assert len(set(canon)) == 100
     page = 7
     assert canon[page * 3] == f"https://site{page % 50}.example.com/p/{page}?id={page}"
+
+
+def test_canonicalize_urls_idempotent():
+    """canon must be a fixpoint — a second pass can't strip more (caught
+    a real bug: trailing '//' needed /+$ not /$)."""
+    from sick_ray.functions.urlnorm import canonicalize_urls, synth_urls
+
+    weird = pa.array([
+        "https://h/x?utm_a=1&utm_b=2&utm_c=3",
+        "HTTP://H//?fbclid=1",
+        "https://h/p///",
+        "https://h/p//?a=1",
+        "https://h/x?ref=1&b=2&ref=3",
+        "https://h/x?a=1&ref=2&utm_c=3",
+        "noscheme?utm_q=1",
+    ])
+    c1 = canonicalize_urls(weird)
+    assert canonicalize_urls(c1).equals(c1)
+    synth = canonicalize_urls(synth_urls(np.arange(9000, dtype=np.int64)))
+    assert canonicalize_urls(synth).equals(synth)
