@@ -35,6 +35,17 @@ def main(argv=None) -> int:
     )
     p.add_argument("--id-col", default="doc_id",
                    help="int64 id column for --curate (default doc_id)")
+    p.add_argument(
+        "--build-index", action="store_true",
+        help="freeze the input corpus into a persistent MinHash/LSH dedup "
+             "index under out_dir (signatures + band buckets + manifest) "
+             "instead of running the pipeline",
+    )
+    p.add_argument(
+        "--probe-index", metavar="INDEX_DIR", default=None,
+        help="probe the input (a NEW crawl) against a frozen index; "
+             "verified near-dup pairs go to out_dir/near_dup_pairs",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--partitions", type=int, default=64)
     args = p.parse_args(argv)
@@ -83,6 +94,33 @@ def main(argv=None) -> int:
 
     threading.Thread(target=_poll, daemon=True).start()
     t0 = time.time()
+    if args.build_index or args.probe_index:
+        # incremental cross-snapshot workflow (stages/index.py): freeze a
+        # corpus once, probe later crawls against it without re-reading it
+        import ray.data as rd
+
+        from sick_ray.stages.index import build_dedup_index, probe_dedup_index
+
+        docs = rd.read_parquet(args.input)
+        if args.build_index:
+            man = build_dedup_index(docs, args.out_dir, cfg)
+            summary = {**man, "wall_sec": round(time.time() - t0, 2)}
+        else:
+            counters: dict = {}
+            pairs = probe_dedup_index(docs, args.probe_index, cfg,
+                                      counters=counters).materialize()
+            out = os.path.join(args.out_dir, "near_dup_pairs")
+            os.makedirs(out, exist_ok=True)
+            pairs.write_parquet(out)
+            summary = {
+                "n_pairs": pairs.count(),
+                **counters,
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        stop_poll.set()
+        print(json.dumps(summary))
+        ray.shutdown()
+        return 0
     if args.curate:
         # curation composition (no checkpointed stages — one streaming
         # chain; the manifest records the finished output for skip-if-done

@@ -3616,6 +3616,42 @@ FROM keyed
 """
 
 
+def q_snapshot_near_dup_docs(sf_dir: str):
+    """Incremental NEAR-dup against a frozen index (stages/index.py): even
+    doc_ids are frozen into a MinHash/LSH index (signatures + band
+    buckets on disk), odd doc_ids probe it — the monthly-crawl companion
+    of snapshot_dedup_docs at near-dup granularity. Returns verified
+    (old_fp64, new_fp64) pairs at est Jaccard ≥ cfg.verify_threshold.
+    MinHash estimation is not SQL-expressible → rows-only here; the
+    operator's oracle lives in tests/test_index.py (exact O(|A|×|B|)
+    cross-half Jaccard: recall 1.0 at J≥0.9, precision floor, partition
+    invariance, config-identity mismatch)."""
+    import tempfile
+
+    from sick_ray.stages.index import build_dedup_index, probe_dedup_index
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def even(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 2 == 0))
+
+    def odd(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 2 == 1))
+
+    idx_dir = tempfile.mkdtemp(prefix="sick_ray_snapidx_")
+    build_dedup_index(
+        docs.map_batches(even, batch_format="pyarrow"), idx_dir, QCFG)
+    pairs = probe_dedup_index(
+        docs.map_batches(odd, batch_format="pyarrow"), idx_dir, QCFG)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["old_fp64", "new_fp64"])
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
 SEARCH_PATTERNS = ["merge batch", "window table", "hash value"]
 
 
@@ -3725,6 +3761,7 @@ QUERIES = {
     "snapshot_dedup_docs": q_snapshot_dedup_docs,
     "shard_docs": q_shard_docs,
     "substring_search_docs": q_substring_search_docs,
+    "snapshot_near_dup_docs": q_snapshot_near_dup_docs,
 }
 
 ORACLES = {

@@ -1,0 +1,280 @@
+"""Persistent MinHash/LSH dedup index — build once, probe incrementally.
+
+The production monthly-snapshot workflow: an already-ingested corpus is
+frozen into a narrow on-disk index (signatures + LSH band buckets +
+config-identity manifest); each later crawl computes its OWN signatures
+and probes the frozen buckets for cross-snapshot near-duplicates without
+ever re-reading or re-shuffling the old corpus. This is the direct
+analogue of the reference's freeze-then-reopen lifecycle — the encoder
+writes the content-addressed tables once and ``SickReader`` re-opens them
+for queries (json-sick-scala ``EBAWriter.scala:19-61`` /
+``SickSharp/Format/SickReader.cs:121-157``) — re-expressed as parquet
+tables a Ray Data pipeline reads back.
+
+Scale shape:
+- the index is ~0.5% of corpus bytes (520 B sigs + 16 B/band-row per
+  distinct doc); text never enters it
+- probing shuffles only (bkt, fp64, side) 17 B rows — the union of new
+  band rows with the frozen bucket table, hash-partitioned on bkt
+- per-bucket old×new cross pairs are capped with COUNTED truncation
+  (the engine-wide no-silent-caps rule)
+- signature verification broadcasts the union signature table below
+  BROADCAST_SIG_LIMIT docs and falls back to the two-hash-join scale
+  path above it (same switch as pipelines/dedup.py)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from sick_ray.config import DedupConfig
+from sick_ray.shuffle import first_mask, grouped_apply, sort_index
+from sick_ray.stages.lsh import (
+    explode_bands,
+    make_sig_lookup_ref,
+    verify_edges_broadcast,
+    verify_edges_join,
+)
+from sick_ray.stages.minhash import make_minhash_fn
+from sick_ray.xxh import xxh64_strings
+
+INDEX_VERSION = 1
+BROADCAST_SIG_LIMIT = 20_000_000
+
+
+def _sig_identity(cfg: DedupConfig) -> dict:
+    """The knobs that change signature/bucket bytes — a probe with any of
+    these differing from the build config compares incompatible sketches."""
+    return {
+        "index_version": INDEX_VERSION,
+        "shingle_k": cfg.shingle_k,
+        "num_perm": cfg.num_perm,
+        "seed": cfg.seed,
+        "bands": cfg.bands,
+        "rows_per_band": cfg.rows_per_band,
+    }
+
+
+def _add_fp(batch: pa.Table, text_col: str) -> pa.Table:
+    fp = xxh64_strings(batch.column(text_col)).view(np.int64)
+    return batch.append_column("fp64", pa.array(fp, type=pa.int64()))
+
+
+def _distinct_sigs(part: pa.Table) -> pa.Table:
+    """Keep one (sig, band_hash) row per fp64 — identical text produces an
+    identical signature, so any representative is exact."""
+    fp = part.column("fp64").to_numpy(zero_copy_only=False)
+    order = sort_index(fp)
+    keep = order[first_mask(fp[order])]
+    return part.take(pa.array(np.sort(keep)))
+
+
+def build_dedup_index(docs_ds, index_dir: str, cfg: DedupConfig,
+                      text_col: str = "text") -> dict:
+    """Freeze ``docs_ds`` (any dataset with a ``text_col``) into a dedup
+    index under ``index_dir``: ``signatures/`` (fp64, sig), ``buckets/``
+    (bkt, fp64), ``_INDEX.json``. Returns counters. Exact-duplicate texts
+    collapse to one index row (content-addressed, like the reference's
+    hash-consed value tables)."""
+    def add_fp(batch: pa.Table) -> pa.Table:
+        return _add_fp(batch, text_col)
+
+    sigs = (
+        docs_ds.map_batches(add_fp, batch_format="pyarrow")
+        .map_batches(make_minhash_fn(cfg), batch_format="pyarrow",
+                     batch_size=cfg.batch_size)
+        .select_columns(["fp64", "sig", "band_hash"])
+    )
+    # dedupe by content fingerprint: ~656 B/row shuffle (sig+bands), the
+    # wide text column never moves
+    distinct = grouped_apply(
+        sigs, ["fp64"], _distinct_sigs, num_partitions=cfg.num_partitions
+    ).materialize()
+    n_distinct = distinct.count()
+    distinct.select_columns(["fp64", "sig"]).write_parquet(
+        os.path.join(index_dir, "signatures")
+    )
+    buckets = distinct.select_columns(["fp64", "band_hash"]).map_batches(
+        explode_bands, batch_format="pyarrow"
+    )
+    buckets.write_parquet(os.path.join(index_dir, "buckets"))
+    manifest = {
+        **_sig_identity(cfg),
+        "n_docs_indexed": n_distinct,
+    }
+    tmp = os.path.join(index_dir, "_INDEX.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "_INDEX.json"))
+    return manifest
+
+
+def load_index_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "_INDEX.json")) as f:
+        return json.load(f)
+
+
+def segment_cross_pairs(sorted_bkt: np.ndarray, side: np.ndarray, cap: int):
+    """Old×new index pairs per bucket over rows sorted by (bkt, side),
+    vectorized across ALL buckets at once (the cross-side analogue of
+    shuffle.segment_pairs). ``side`` is 0 for index (old) rows, 1 for
+    probe (new) rows. Buckets emitting more than ``cap`` pairs are
+    truncated deterministically (row-major over the sorted order) and the
+    shortfall is returned — counted, never silent.
+
+    Returns (old_idx, new_idx, truncated_pairs, truncated_buckets)."""
+    n = len(sorted_bkt)
+    z = np.empty(0, dtype=np.int64)
+    if n == 0:
+        return z, z, 0, 0
+    fm = first_mask(sorted_bkt)
+    starts = np.flatnonzero(fm)
+    sizes = np.diff(np.append(starts, n))
+    # per-bucket old count = rows with side==0 (sorted: old before new)
+    old_counts = np.add.reduceat((side == 0).astype(np.int64), starts)
+    new_counts = sizes - old_counts
+    pairs = old_counts * new_counts
+    emit = np.minimum(pairs, cap)
+    total = int(emit.sum())
+    if total == 0:
+        return z, z, int((pairs - emit).sum()), int((pairs > emit).sum())
+    seg = np.repeat(np.arange(len(starts)), emit)
+    base = np.concatenate([[0], np.cumsum(emit)[:-1]])
+    j = np.arange(total, dtype=np.int64) - np.repeat(base, emit)
+    b_seg = np.repeat(new_counts, emit)
+    old_local = j // b_seg
+    new_local = j - old_local * b_seg
+    old_idx = np.repeat(starts, emit) + old_local
+    new_idx = np.repeat(starts + old_counts, emit) + new_local
+    return (old_idx, new_idx,
+            int((pairs - emit).sum()), int((pairs > emit).sum()))
+
+
+def _make_cross_emitter(cap: int):
+    def emit(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "u": pa.array([], type=pa.int64()),
+                    "v": pa.array([], type=pa.int64()),
+                    "kind": pa.array([], type=pa.int8()),
+                }
+            )
+        bkt = part.column("bkt").to_numpy(zero_copy_only=False)
+        side = part.column("side").to_numpy(zero_copy_only=False)
+        fp = part.column("fp64").to_numpy(zero_copy_only=False)
+        order = sort_index(bkt, side, fp)
+        bs, ss, fs = bkt[order], side[order], fp[order]
+        # drop duplicate (bkt, side, fp) rows (a doc can hit the same
+        # bucket via several bands)
+        keep = first_mask(bs) | (fs != np.concatenate([[~fs[0]], fs[:-1]])) \
+            | (ss != np.concatenate([[-1], ss[:-1]]))
+        bs, ss, fs = bs[keep], ss[keep], fs[keep]
+        oi, ni, tp, tb = segment_cross_pairs(bs, ss, cap)
+        out_u = [fs[oi]]
+        out_v = [fs[ni]]
+        out_k = [np.zeros(len(oi), dtype=np.int8)]
+        if tp or tb:
+            out_u.append(np.array([tp], dtype=np.int64))
+            out_v.append(np.array([tb], dtype=np.int64))
+            out_k.append(np.full(1, 2, dtype=np.int8))
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate(out_u), type=pa.int64()),
+                "v": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "kind": pa.array(np.concatenate(out_k), type=pa.int8()),
+            }
+        )
+
+    return emit
+
+
+def _distinct_uv(part: pa.Table) -> pa.Table:
+    if part.num_rows == 0:
+        return part
+    u = part.column("u").to_numpy(zero_copy_only=False)
+    v = part.column("v").to_numpy(zero_copy_only=False)
+    order = sort_index(u, v)
+    us, vs = u[order], v[order]
+    keep = first_mask(us) | (vs != np.concatenate([[~vs[0]], vs[:-1]]))
+    return pa.table(
+        {
+            "u": pa.array(us[keep], type=pa.int64()),
+            "v": pa.array(vs[keep], type=pa.int64()),
+        }
+    )
+
+
+def probe_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
+                      threshold: float | None = None,
+                      text_col: str = "text",
+                      counters: dict | None = None):
+    """Probe ``new_docs_ds`` against a frozen index: returns the verified
+    near-dup pair Dataset (old_fp64, new_fp64) at estimated Jaccard ≥
+    ``threshold`` (default cfg.verify_threshold). Raises ValueError on a
+    config-identity mismatch with the index manifest."""
+    import ray.data as rd
+
+    from sick_ray.shuffle import collect_counter_rows, kind_filter
+
+    manifest = load_index_manifest(index_dir)
+    want = _sig_identity(cfg)
+    got = {k: manifest.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"index config mismatch: index built with {got}, probe uses {want}"
+        )
+    threshold = cfg.verify_threshold if threshold is None else threshold
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        return _add_fp(batch, text_col)
+
+    new_sigs = (
+        new_docs_ds.map_batches(add_fp, batch_format="pyarrow")
+        .map_batches(make_minhash_fn(cfg), batch_format="pyarrow",
+                     batch_size=cfg.batch_size)
+        .select_columns(["fp64", "sig", "band_hash"])
+    )
+    new_sigs = grouped_apply(
+        new_sigs, ["fp64"], _distinct_sigs, num_partitions=cfg.num_partitions
+    ).materialize()
+
+    def tag(side_val: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(batch.num_rows, side_val, dtype=np.int8))
+            )
+
+        return f
+
+    old_buckets = rd.read_parquet(os.path.join(index_dir, "buckets")) \
+        .map_batches(tag(0), batch_format="pyarrow")
+    new_buckets = new_sigs.select_columns(["fp64", "band_hash"]) \
+        .map_batches(explode_bands, batch_format="pyarrow") \
+        .map_batches(tag(1), batch_format="pyarrow")
+    band_rows = old_buckets.union(new_buckets)
+
+    raw = grouped_apply(
+        band_rows, ["bkt"], _make_cross_emitter(cfg.max_pairs_per_bucket),
+        num_partitions=cfg.num_partitions,
+    )
+    raw = collect_counter_rows(raw, counters, "truncated_pairs",
+                               "truncated_buckets")
+    pairs = raw.map_batches(kind_filter(0), batch_format="pyarrow") \
+        .select_columns(["u", "v"])
+    pairs = grouped_apply(pairs, ["u", "v"], _distinct_uv,
+                          num_partitions=cfg.num_partitions)
+
+    old_sigs = rd.read_parquet(os.path.join(index_dir, "signatures"))
+    n_total = manifest["n_docs_indexed"] + new_sigs.count()
+    sig_union = old_sigs.union(new_sigs.select_columns(["fp64", "sig"]))
+    if n_total <= BROADCAST_SIG_LIMIT:
+        lookup = make_sig_lookup_ref(sig_union.materialize(), cfg.num_perm)
+        return verify_edges_broadcast(pairs, lookup, threshold)
+    return verify_edges_join(pairs, sig_union, threshold,
+                             cfg.num_partitions)

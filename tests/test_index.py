@@ -1,0 +1,148 @@
+"""Persistent dedup index: build on snapshot A, probe snapshot B — the
+incremental cross-snapshot near-dup workflow (stages/index.py). Oracle =
+exact cross-half n-gram Jaccard (the same O(n²) discipline as
+test_oracle_n2.py, restricted to A×B pairs)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sick_ray.config import DedupConfig
+from sick_ray.stages.index import (
+    build_dedup_index,
+    load_index_manifest,
+    probe_dedup_index,
+    segment_cross_pairs,
+)
+
+
+def test_segment_cross_pairs_unit():
+    # buckets: [A: 2 old, 2 new], [B: 1 old, 0 new], [C: 0 old, 2 new]
+    bkt = np.array([1, 1, 1, 1, 2, 3, 3])
+    side = np.array([0, 0, 1, 1, 0, 1, 1])
+    oi, ni, tp, tb = segment_cross_pairs(bkt, side, cap=100)
+    got = sorted(zip(oi.tolist(), ni.tolist()))
+    assert got == [(0, 2), (0, 3), (1, 2), (1, 3)]
+    assert tp == 0 and tb == 0
+    # cap truncation is counted
+    oi, ni, tp, tb = segment_cross_pairs(bkt, side, cap=3)
+    assert len(oi) == 3 and tp == 1 and tb == 1
+    # empty
+    z = np.empty(0, dtype=np.int64)
+    oi, ni, tp, tb = segment_cross_pairs(z, z, cap=4)
+    assert len(oi) == 0 and tp == 0 and tb == 0
+
+
+@pytest.fixture(scope="module")
+def halves(ray_session, tmp_path_factory):
+    from sick_ray.synth import materialize_corpus
+
+    root = materialize_corpus(400, seed=7)
+    tbl = pq.read_table(os.path.join(root, "webtext.parquet"),
+                        columns=["url", "text"])
+    idx = np.arange(tbl.num_rows)
+    a = tbl.take(pa.array(idx[idx % 2 == 0]))
+    b = tbl.take(pa.array(idx[idx % 2 == 1]))
+    return a, b
+
+
+def _exact_cross_pairs(a: pa.Table, b: pa.Table, jmin: float):
+    """(fp_a, fp_b) of every A×B pair with exact shingle Jaccard ≥ jmin."""
+    from sick_ray.functions.ngram import jaccard_sorted, shingle_hash_sets
+    from sick_ray.xxh import xxh64_strings
+
+    ta = [t or "" for t in a.column("text").to_pylist()]
+    tb = [t or "" for t in b.column("text").to_pylist()]
+    sa = shingle_hash_sets(ta, k=5)
+    sb = shingle_hash_sets(tb, k=5)
+    fa = xxh64_strings(a.column("text")).view(np.int64)
+    fb = xxh64_strings(b.column("text")).view(np.int64)
+    out = set()
+    for i in range(len(ta)):
+        for j in range(len(tb)):
+            la, lb = len(sa[i]), len(sb[j])
+            if min(la, lb) == 0 or min(la, lb) / max(la, lb) < jmin:
+                continue
+            if jaccard_sorted(sa[i], sb[j]) >= jmin:
+                out.add((int(fa[i]), int(fb[j])))
+    return out
+
+
+def test_index_build_probe_recall(halves, tmp_path):
+    import ray.data as rd
+
+    a, b = halves
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=8)
+    idx_dir = str(tmp_path / "idx")
+    man = build_dedup_index(rd.from_arrow(a), idx_dir, cfg)
+    assert man["n_docs_indexed"] > 0
+    assert load_index_manifest(idx_dir)["num_perm"] == cfg.num_perm
+
+    counters = {}
+    pairs = probe_dedup_index(rd.from_arrow(b), idx_dir, cfg,
+                              counters=counters).to_pandas()
+    found = set(zip(pairs["u"].astype(np.int64),
+                    pairs["v"].astype(np.int64)))
+    want = _exact_cross_pairs(a, b, jmin=0.9)
+    assert want, "fixture must contain cross-half near-dups"
+    missed = want - found
+    assert not missed, f"missed {len(missed)} of {len(want)} J>=0.9 pairs"
+    assert counters["truncated_pairs"] == 0
+    # precision floor: every verified pair must be genuinely similar
+    # (est threshold 0.72 admits some sub-0.9 pairs; none should be junk)
+    from sick_ray.functions.ngram import jaccard_sorted, shingle_hash_sets
+    from sick_ray.xxh import xxh64_strings
+
+    fa = xxh64_strings(a.column("text")).view(np.int64)
+    fb = xxh64_strings(b.column("text")).view(np.int64)
+    sa = dict(zip(fa.tolist(),
+                  shingle_hash_sets([t or "" for t in a.column("text").to_pylist()], k=5)))
+    sb = dict(zip(fb.tolist(),
+                  shingle_hash_sets([t or "" for t in b.column("text").to_pylist()], k=5)))
+    for u, v in found:
+        j = jaccard_sorted(sa[u], sb[v])
+        assert j >= 0.5, f"verified pair with exact J={j:.2f}"
+
+
+def test_probe_partition_invariance(halves, tmp_path):
+    import ray.data as rd
+
+    a, b = halves
+    cfg8 = DedupConfig(minhash_concurrency=2, num_partitions=8)
+    idx_dir = str(tmp_path / "idx")
+    build_dedup_index(rd.from_arrow(a), idx_dir, cfg8)
+    p8 = probe_dedup_index(rd.from_arrow(b), idx_dir, cfg8).to_pandas()
+    cfg3 = DedupConfig(minhash_concurrency=2, num_partitions=3)
+    p3 = probe_dedup_index(rd.from_arrow(b), idx_dir, cfg3).to_pandas()
+    s8 = set(zip(p8["u"], p8["v"]))
+    s3 = set(zip(p3["u"], p3["v"]))
+    assert s8 == s3
+
+
+def test_probe_config_mismatch_raises(halves, tmp_path):
+    import ray.data as rd
+
+    a, b = halves
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=8)
+    idx_dir = str(tmp_path / "idx")
+    build_dedup_index(rd.from_arrow(a), idx_dir, cfg)
+    bad = DedupConfig(minhash_concurrency=2, num_partitions=8, shingle_k=4)
+    with pytest.raises(ValueError, match="config mismatch"):
+        probe_dedup_index(rd.from_arrow(b), idx_dir, bad)
+
+
+def test_probe_no_dups_is_empty(ray_session, tmp_path):
+    import ray.data as rd
+
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=4)
+    a = pa.table({"text": [f"alpha bravo charlie delta echo foxtrot {i} "
+                           f"golf hotel india juliet kilo lima" for i in range(20)]})
+    b = pa.table({"text": [f"zulu yankee xray whiskey victor uniform {i} "
+                           f"tango sierra romeo quebec papa oscar" for i in range(20)]})
+    idx_dir = str(tmp_path / "idx")
+    build_dedup_index(rd.from_arrow(a), idx_dir, cfg)
+    pairs = probe_dedup_index(rd.from_arrow(b), idx_dir, cfg).to_pandas()
+    assert len(pairs) == 0
