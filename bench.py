@@ -136,7 +136,8 @@ def run_bench() -> dict:
         "quality_classifier", "source_overlap", "dsir_score_docs",
         "curated_corpus", "curated_packed", "events_user_hll", "top_terms_mg",
         "price_quantiles_sketch", "weighted_mix_docs", "pack_sequences",
-        "stratified_sample_docs",
+        "stratified_sample_docs", "url_dedup_docs", "snapshot_dedup_docs",
+        "shard_docs", "snapshot_near_dup_docs",
     ):
         t = time.time()
         out = QUERIES[name](SF_DIR)
