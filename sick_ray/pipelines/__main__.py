@@ -46,6 +46,12 @@ def main(argv=None) -> int:
         help="probe the input (a NEW crawl) against a frozen index; "
              "verified near-dup pairs go to out_dir/near_dup_pairs",
     )
+    p.add_argument(
+        "--extend-index", action="store_true",
+        help="after probing (or standalone with out_dir = index dir), "
+             "merge the input snapshot into the index so the next crawl "
+             "probes old+new",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--partitions", type=int, default=64)
     args = p.parse_args(argv)
@@ -94,29 +100,36 @@ def main(argv=None) -> int:
 
     threading.Thread(target=_poll, daemon=True).start()
     t0 = time.time()
-    if args.build_index or args.probe_index:
+    if args.build_index or args.probe_index or args.extend_index:
         # incremental cross-snapshot workflow (stages/index.py): freeze a
-        # corpus once, probe later crawls against it without re-reading it
+        # corpus once, probe later crawls against it without re-reading
+        # it, then merge the probed snapshot in for the next cycle
         import ray.data as rd
 
-        from sick_ray.stages.index import build_dedup_index, probe_dedup_index
+        from sick_ray.stages.index import (
+            build_dedup_index,
+            extend_dedup_index,
+            probe_dedup_index,
+        )
 
         docs = rd.read_parquet(args.input)
         if args.build_index:
             man = build_dedup_index(docs, args.out_dir, cfg)
             summary = {**man, "wall_sec": round(time.time() - t0, 2)}
         else:
-            counters: dict = {}
-            pairs = probe_dedup_index(docs, args.probe_index, cfg,
-                                      counters=counters).materialize()
-            out = os.path.join(args.out_dir, "near_dup_pairs")
-            os.makedirs(out, exist_ok=True)
-            pairs.write_parquet(out)
-            summary = {
-                "n_pairs": pairs.count(),
-                **counters,
-                "wall_sec": round(time.time() - t0, 2),
-            }
+            idx_dir = args.probe_index or args.out_dir
+            summary = {}
+            if args.probe_index:
+                counters: dict = {}
+                pairs = probe_dedup_index(docs, idx_dir, cfg,
+                                          counters=counters).materialize()
+                out = os.path.join(args.out_dir, "near_dup_pairs")
+                os.makedirs(out, exist_ok=True)
+                pairs.write_parquet(out)
+                summary = {"n_pairs": pairs.count(), **counters}
+            if args.extend_index:
+                summary.update(extend_dedup_index(docs, idx_dir, cfg))
+            summary["wall_sec"] = round(time.time() - t0, 2)
         stop_poll.set()
         print(json.dumps(summary))
         ray.shutdown()

@@ -278,3 +278,76 @@ def probe_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
         return verify_edges_broadcast(pairs, lookup, threshold)
     return verify_edges_join(pairs, sig_union, threshold,
                              cfg.num_partitions)
+
+
+def extend_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
+                       text_col: str = "text") -> dict:
+    """Merge a new snapshot INTO a frozen index — the third lifecycle step
+    (freeze → probe → extend), so next month's crawl probes old+new
+    without any rebuild. New docs whose fp64 already exists in the index
+    are skipped (the signatures table stays distinct-by-fp64, the
+    content-addressed invariant); genuinely new rows are appended as new
+    parquet files in the existing ``signatures/``/``buckets/`` dirs and
+    the manifest count is bumped atomically.
+
+    The existing-fp filter broadcasts the index's fp64 column (8 B/doc —
+    ~160 MB at the BROADCAST_SIG_LIMIT); past that scale the same filter
+    is shuffle.semi_select's Bloom-prefiltered anti join on fp64."""
+    import ray
+    import ray.data as rd
+
+    from sick_ray.shuffle import assemble_blocks
+
+    manifest = load_index_manifest(index_dir)
+    want = _sig_identity(cfg)
+    got = {k: manifest.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"index config mismatch: index built with {got}, extend uses {want}"
+        )
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        return _add_fp(batch, text_col)
+
+    new_sigs = (
+        new_docs_ds.map_batches(add_fp, batch_format="pyarrow")
+        .map_batches(make_minhash_fn(cfg), batch_format="pyarrow",
+                     batch_size=cfg.batch_size)
+        .select_columns(["fp64", "sig", "band_hash"])
+    )
+    new_sigs = grouped_apply(
+        new_sigs, ["fp64"], _distinct_sigs, num_partitions=cfg.num_partitions
+    )
+
+    old_fps = rd.read_parquet(os.path.join(index_dir, "signatures"),
+                              columns=["fp64"]).materialize()
+
+    def finalize_fps(tbl: pa.Table) -> np.ndarray:
+        return np.unique(tbl.column("fp64").to_numpy(zero_copy_only=False))
+
+    fp_ref = assemble_blocks(old_fps, ["fp64"], finalize_fps,
+                             empty=np.empty(0, dtype=np.int64))
+
+    def drop_existing(batch: pa.Table) -> pa.Table:
+        old = ray.get(fp_ref)
+        if batch.num_rows == 0 or len(old) == 0:
+            return batch
+        fp = batch.column("fp64").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(old, fp), len(old) - 1)
+        return batch.filter(pa.array(old[pos] != fp))
+
+    fresh = new_sigs.map_batches(drop_existing,
+                                 batch_format="pyarrow").materialize()
+    n_added = fresh.count()
+    if n_added:
+        fresh.select_columns(["fp64", "sig"]).write_parquet(
+            os.path.join(index_dir, "signatures"))
+        fresh.select_columns(["fp64", "band_hash"]).map_batches(
+            explode_bands, batch_format="pyarrow"
+        ).write_parquet(os.path.join(index_dir, "buckets"))
+    manifest["n_docs_indexed"] += n_added
+    tmp = os.path.join(index_dir, "_INDEX.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "_INDEX.json"))
+    return {**manifest, "n_docs_added": n_added}

@@ -146,3 +146,40 @@ def test_probe_no_dups_is_empty(ray_session, tmp_path):
     build_dedup_index(rd.from_arrow(a), idx_dir, cfg)
     pairs = probe_dedup_index(rd.from_arrow(b), idx_dir, cfg).to_pandas()
     assert len(pairs) == 0
+
+
+def test_extend_index_idempotent_and_probeable(halves, tmp_path):
+    import ray.data as rd
+
+    from sick_ray.stages.index import extend_dedup_index
+
+    a, b = halves
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=8)
+    idx_dir = str(tmp_path / "idx")
+    man0 = build_dedup_index(rd.from_arrow(a), idx_dir, cfg)
+
+    # extending with the SAME snapshot adds nothing (content-addressed)
+    again = extend_dedup_index(rd.from_arrow(a), idx_dir, cfg)
+    assert again["n_docs_added"] == 0
+    assert load_index_manifest(idx_dir)["n_docs_indexed"] == man0["n_docs_indexed"]
+
+    # extend with B: only fps absent from A are appended
+    from sick_ray.xxh import xxh64_strings
+
+    fa = set(np.unique(xxh64_strings(a.column("text")).view(np.int64)).tolist())
+    fb = np.unique(xxh64_strings(b.column("text")).view(np.int64))
+    expect_added = int(np.sum([f not in fa for f in fb.tolist()]))
+    ext = extend_dedup_index(rd.from_arrow(b), idx_dir, cfg)
+    assert ext["n_docs_added"] == expect_added
+    assert ext["n_docs_indexed"] == man0["n_docs_indexed"] + expect_added
+
+    # probing B against the extended index finds every B doc as its own
+    # exact match (u == v), i.e. the appended rows are really live
+    pairs = probe_dedup_index(rd.from_arrow(b), idx_dir, cfg).to_pandas()
+    self_matches = set(pairs.loc[pairs["u"] == pairs["v"], "u"].astype(np.int64))
+    assert set(fb.tolist()) <= self_matches
+
+    # config mismatch guard applies to extend too
+    bad = DedupConfig(minhash_concurrency=2, num_partitions=8, seed=9)
+    with pytest.raises(ValueError, match="config mismatch"):
+        extend_dedup_index(rd.from_arrow(b), idx_dir, bad)
