@@ -25,7 +25,7 @@ Scale shape:
 
 from __future__ import annotations
 
-import dataclasses
+import glob
 import json
 import os
 
@@ -61,8 +61,15 @@ def _sig_identity(cfg: DedupConfig) -> dict:
 
 
 def _add_fp(batch: pa.Table, text_col: str) -> pa.Table:
+    """fp64 content hash + conform the text column name to "text" (the
+    MinHasher contract) when the caller's corpus names it differently."""
     fp = xxh64_strings(batch.column(text_col)).view(np.int64)
-    return batch.append_column("fp64", pa.array(fp, type=pa.int64()))
+    out = batch.append_column("fp64", pa.array(fp, type=pa.int64()))
+    if text_col != "text":
+        out = out.rename_columns(
+            ["text" if c == text_col else c for c in out.column_names]
+        )
+    return out
 
 
 def _distinct_sigs(part: pa.Table) -> pa.Table:
@@ -80,7 +87,20 @@ def build_dedup_index(docs_ds, index_dir: str, cfg: DedupConfig,
     index under ``index_dir``: ``signatures/`` (fp64, sig), ``buckets/``
     (bkt, fp64), ``_INDEX.json``. Returns counters. Exact-duplicate texts
     collapse to one index row (content-addressed, like the reference's
-    hash-consed value tables)."""
+    hash-consed value tables).
+
+    Rebuilding into an existing index dir replaces it: the stale manifest
+    goes first, then stale parts — a crash mid-build must leave the dir
+    unreadable (no manifest), never a mix of old and new rows
+    (write_parquet APPENDS uniquely-named files; the --curate CLI uses
+    the same clear-then-commit convention)."""
+    stale_manifest = os.path.join(index_dir, "_INDEX.json")
+    if os.path.exists(stale_manifest):
+        os.unlink(stale_manifest)
+    for sub in ("signatures", "buckets"):
+        for f in glob.glob(os.path.join(index_dir, sub, "*.parquet")):
+            os.unlink(f)
+
     def add_fp(batch: pa.Table) -> pa.Table:
         return _add_fp(batch, text_col)
 

@@ -183,3 +183,31 @@ def test_extend_index_idempotent_and_probeable(halves, tmp_path):
     bad = DedupConfig(minhash_concurrency=2, num_partitions=8, seed=9)
     with pytest.raises(ValueError, match="config mismatch"):
         extend_dedup_index(rd.from_arrow(b), idx_dir, bad)
+
+
+def test_rebuild_replaces_not_appends(halves, tmp_path):
+    import ray.data as rd
+
+    a, _ = halves
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=8)
+    idx_dir = str(tmp_path / "idx")
+    m1 = build_dedup_index(rd.from_arrow(a), idx_dir, cfg)
+    m2 = build_dedup_index(rd.from_arrow(a), idx_dir, cfg)  # rebuild
+    assert m2["n_docs_indexed"] == m1["n_docs_indexed"]
+    sigs = pq.read_table(os.path.join(idx_dir, "signatures"))
+    assert sigs.num_rows == m1["n_docs_indexed"]  # no doubled rows
+
+
+def test_build_with_renamed_text_col(ray_session, tmp_path):
+    import ray.data as rd
+
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=4)
+    a = pa.table({"body": [f"one two three four five six {i} seven eight"
+                           for i in range(10)]})
+    idx_dir = str(tmp_path / "idx")
+    man = build_dedup_index(rd.from_arrow(a), idx_dir, cfg, text_col="body")
+    assert man["n_docs_indexed"] == 10
+    pairs = probe_dedup_index(rd.from_arrow(a), idx_dir, cfg,
+                              text_col="body").to_pandas()
+    # self-probe: every doc at least matches itself
+    assert (pairs["u"] == pairs["v"]).sum() == 10
