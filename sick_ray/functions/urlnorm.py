@@ -10,18 +10,21 @@ specific construction):
 
 1. strip the fragment (``#...``)
 2. drop tracking query params (``utm_*``, ``ref``, ``fbclid``, ``gclid``)
-   wherever they sit in the query string, collapsing separators
-3. drop a now-dangling ``?``
-4. strip a trailing path slash (before ``?`` or at end)
+   wherever they sit in the query string: the pattern anchors each KEY to
+   a ``[?&]`` boundary (so ``href=``/``xref=`` and tracking strings
+   embedded in VALUES survive) and consumes a whole RUN of consecutive
+   tracking params in one match (RE2's global replace scans forward from
+   a match's end, so a leading-boundary pattern that ate one param per
+   match would skip every other param in a run), keeping the boundary
+   char via a ``\\1`` rewrite
+3. drop a now-dangling trailing ``?``/``&``
+4. collapse a run of trailing path slashes (before ``?`` or at end)
 5. lowercase the scheme+authority (path/query stay case-sensitive per
    RFC 3986 §6.2.2.1)
 
 The canonicalizer is idempotent (canon(canon(u)) == canon(u) — property
-tested). Known regex-approximation caveat, identical on the engine and
-DuckDB sides: rule 2 has no leading-separator guard (needed so runs of
-consecutive tracking params strip in one pass under RE2's non-overlapping
-global replace), so a pathological VALUE containing ``utm_x=...&`` is
-also stripped; a query-string parser would not be vectorizable.
+tested), and every rule is replicated byte-for-byte in the DuckDB oracle
+(SQL_URL_DEDUP_DOCS), 'g'-flagged to match Arrow's global replace.
 """
 
 from __future__ import annotations
@@ -30,7 +33,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_TRACKING = "(utm_[a-z0-9]+|ref|fbclid|gclid)"
+_TRACKING = (
+    r"([?&])(?:(?:utm_[a-z0-9]+|ref|fbclid|gclid)=[^&#]*(?:&|$))+"
+)
 # scheme://authority prefix (RFC 3986 scheme chars), rest of the url
 _AUTH_RE = r"^(?P<auth>[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(?P<rest>.*)$"
 
@@ -45,13 +50,8 @@ def canonicalize_urls(col) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     u = pc.replace_substring_regex(col, pattern=r"#.*$", replacement="")
-    u = pc.replace_substring_regex(
-        u, pattern=_TRACKING + r"=[^&#]*&", replacement=""
-    )
-    u = pc.replace_substring_regex(
-        u, pattern=r"[?&]" + _TRACKING + r"=[^&#]*$", replacement=""
-    )
-    u = pc.replace_substring_regex(u, pattern=r"\?$", replacement="")
+    u = pc.replace_substring_regex(u, pattern=_TRACKING, replacement=r"\1")
+    u = pc.replace_substring_regex(u, pattern=r"[?&]$", replacement="")
     u = pc.replace_substring_regex(u, pattern=r"/+\?", replacement="?")
     u = pc.replace_substring_regex(u, pattern=r"/+$", replacement="")
     parts = pc.extract_regex(u, pattern=_AUTH_RE)

@@ -112,6 +112,8 @@ def main(argv=None) -> int:
             probe_dedup_index,
         )
 
+        from sick_ray.stages.index import snapshot_sigs
+
         docs = rd.read_parquet(args.input)
         if args.build_index:
             man = build_dedup_index(docs, args.out_dir, cfg)
@@ -119,16 +121,26 @@ def main(argv=None) -> int:
         else:
             idx_dir = args.probe_index or args.out_dir
             summary = {}
+            # one MinHash pass shared by probe AND extend
+            sigs = snapshot_sigs(docs, cfg)
             if args.probe_index:
                 counters: dict = {}
                 pairs = probe_dedup_index(docs, idx_dir, cfg,
-                                          counters=counters).materialize()
+                                          counters=counters,
+                                          new_sigs=sigs).materialize()
                 out = os.path.join(args.out_dir, "near_dup_pairs")
                 os.makedirs(out, exist_ok=True)
+                # clear-then-write: write_parquet APPENDS uniquely-named
+                # files, so a retried probe must not double the pair set
+                import glob as _glob
+
+                for f in _glob.glob(os.path.join(out, "*.parquet")):
+                    os.unlink(f)
                 pairs.write_parquet(out)
                 summary = {"n_pairs": pairs.count(), **counters}
             if args.extend_index:
-                summary.update(extend_dedup_index(docs, idx_dir, cfg))
+                summary.update(
+                    extend_dedup_index(docs, idx_dir, cfg, new_sigs=sigs))
             summary["wall_sec"] = round(time.time() - t0, 2)
         stop_poll.set()
         print(json.dumps(summary))

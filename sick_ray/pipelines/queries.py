@@ -3442,13 +3442,12 @@ WITH raw AS (
 c AS (
   SELECT doc_id,
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(regexp_replace(u,
-        '#.*$', ''),
-        '(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&#]*&', '', 'g'),
-        '[?&](utm_[a-z0-9]+|ref|fbclid|gclid)=[^&#]*$', ''),
-        '\?$', ''),
-        '/+\?', '?'),
-        '/+$', '') AS u6
+      regexp_replace(u,
+        '#.*$', '', 'g'),
+        '([?&])((utm_[a-z0-9]+|ref|fbclid|gclid)=[^&#]*(&|$))+', '\1', 'g'),
+        '[?&]$', '', 'g'),
+        '/+\?', '?', 'g'),
+        '/+$', '', 'g') AS u6
   FROM raw
 ),
 canon AS (
@@ -3463,10 +3462,6 @@ SELECT canon_url, min(doc_id) AS kept_doc_id,
        count(*) AS n_dups
 FROM canon GROUP BY canon_url
 """
-
-
-def _fp_table_finalize(tbl: pa.Table) -> np.ndarray:
-    return np.unique(tbl.column("fp64").to_numpy(zero_copy_only=False))
 
 
 SNAPSHOT_PREFIX_CHARS = 64
@@ -3506,7 +3501,7 @@ def q_snapshot_dedup_docs(sf_dir: str):
     fast path. 64-bit fp collision risk ~n²/2⁶⁴ (novelty_docs bound)."""
     import ray
 
-    from sick_ray.shuffle import assemble_blocks
+    from sick_ray.shuffle import assemble_blocks, unique_fp64
 
     docs = _read(sf_dir, "documents",
                  columns=["doc_id", "text", "lang", "source", "n_chars"])
@@ -3514,7 +3509,7 @@ def q_snapshot_dedup_docs(sf_dir: str):
         _old_snapshot_fps, batch_format="pyarrow"
     ).materialize()
     fp_ref = assemble_blocks(
-        old_fps, ["fp64"], _fp_table_finalize,
+        old_fps, ["fp64"], unique_fp64,
         empty=np.empty(0, dtype=np.int64),
     )
 
@@ -3626,7 +3621,7 @@ def q_snapshot_near_dup_docs(sf_dir: str):
     operator's oracle lives in tests/test_index.py (exact O(|A|×|B|)
     cross-half Jaccard: recall 1.0 at J≥0.9, precision floor, partition
     invariance, config-identity mismatch)."""
-    import tempfile
+    import os
 
     from sick_ray.stages.index import build_dedup_index, probe_dedup_index
 
@@ -3640,7 +3635,14 @@ def q_snapshot_near_dup_docs(sf_dir: str):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(ids % 2 == 1))
 
-    idx_dir = tempfile.mkdtemp(prefix="sick_ray_snapidx_")
+    # deterministic per-sf dir, not mkdtemp: repeated bench/driver runs
+    # must not accumulate index copies in /tmp (build_dedup_index itself
+    # clears-then-commits, so re-running is a clean replace)
+    idx_dir = os.path.join(
+        "/tmp", "sick_ray_snapidx",
+        os.path.basename(os.path.normpath(sf_dir)) or "default",
+    )
+    os.makedirs(idx_dir, exist_ok=True)
     build_dedup_index(
         docs.map_batches(even, batch_format="pyarrow"), idx_dir, QCFG)
     pairs = probe_dedup_index(

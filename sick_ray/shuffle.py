@@ -319,6 +319,14 @@ def collect_counter_rows(raw, counters: dict | None, u_key: str, v_key: str):
     return raw
 
 
+def unique_fp64(tbl: pa.Table) -> "np.ndarray":
+    """Shared assemble_blocks finalize: unique-sorted int64 ``fp64``
+    column — the broadcast probe array of every fingerprint-membership
+    filter (snapshot dedup, index extend). Module-level for foreign-cwd
+    driver picklability (see assemble_blocks)."""
+    return np.unique(tbl.column("fp64").to_numpy(zero_copy_only=False))
+
+
 def assemble_blocks(ds, columns: list[str], finalize, empty):
     """One in-cluster Ray task concatenates ``columns`` of ``ds``'s
     (materialized) blocks and returns ``finalize(table)`` — the shared

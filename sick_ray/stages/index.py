@@ -81,6 +81,24 @@ def _distinct_sigs(part: pa.Table) -> pa.Table:
     return part.take(pa.array(np.sort(keep)))
 
 
+def snapshot_sigs(docs_ds, cfg: DedupConfig, text_col: str = "text"):
+    """Distinct-by-fp64 (fp64, sig, band_hash) rows of a snapshot — the
+    shared front half of build/probe/extend. Returned MATERIALIZED so a
+    probe-then-extend composition computes MinHash once, not per step."""
+    def add_fp(batch: pa.Table) -> pa.Table:
+        return _add_fp(batch, text_col)
+
+    sigs = (
+        docs_ds.map_batches(add_fp, batch_format="pyarrow")
+        .map_batches(make_minhash_fn(cfg), batch_format="pyarrow",
+                     batch_size=cfg.batch_size)
+        .select_columns(["fp64", "sig", "band_hash"])
+    )
+    return grouped_apply(
+        sigs, ["fp64"], _distinct_sigs, num_partitions=cfg.num_partitions
+    ).materialize()
+
+
 def build_dedup_index(docs_ds, index_dir: str, cfg: DedupConfig,
                       text_col: str = "text") -> dict:
     """Freeze ``docs_ds`` (any dataset with a ``text_col``) into a dedup
@@ -101,20 +119,9 @@ def build_dedup_index(docs_ds, index_dir: str, cfg: DedupConfig,
         for f in glob.glob(os.path.join(index_dir, sub, "*.parquet")):
             os.unlink(f)
 
-    def add_fp(batch: pa.Table) -> pa.Table:
-        return _add_fp(batch, text_col)
-
-    sigs = (
-        docs_ds.map_batches(add_fp, batch_format="pyarrow")
-        .map_batches(make_minhash_fn(cfg), batch_format="pyarrow",
-                     batch_size=cfg.batch_size)
-        .select_columns(["fp64", "sig", "band_hash"])
-    )
     # dedupe by content fingerprint: ~656 B/row shuffle (sig+bands), the
     # wide text column never moves
-    distinct = grouped_apply(
-        sigs, ["fp64"], _distinct_sigs, num_partitions=cfg.num_partitions
-    ).materialize()
+    distinct = snapshot_sigs(docs_ds, cfg, text_col)
     n_distinct = distinct.count()
     distinct.select_columns(["fp64", "sig"]).write_parquet(
         os.path.join(index_dir, "signatures")
@@ -233,11 +240,14 @@ def _distinct_uv(part: pa.Table) -> pa.Table:
 def probe_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
                       threshold: float | None = None,
                       text_col: str = "text",
-                      counters: dict | None = None):
+                      counters: dict | None = None,
+                      new_sigs=None):
     """Probe ``new_docs_ds`` against a frozen index: returns the verified
     near-dup pair Dataset (old_fp64, new_fp64) at estimated Jaccard ≥
     ``threshold`` (default cfg.verify_threshold). Raises ValueError on a
-    config-identity mismatch with the index manifest."""
+    config-identity mismatch with the index manifest. Pass ``new_sigs``
+    (a :func:`snapshot_sigs` result) to share one MinHash pass with a
+    following :func:`extend_dedup_index`."""
     import ray.data as rd
 
     from sick_ray.shuffle import collect_counter_rows, kind_filter
@@ -250,19 +260,8 @@ def probe_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
             f"index config mismatch: index built with {got}, probe uses {want}"
         )
     threshold = cfg.verify_threshold if threshold is None else threshold
-
-    def add_fp(batch: pa.Table) -> pa.Table:
-        return _add_fp(batch, text_col)
-
-    new_sigs = (
-        new_docs_ds.map_batches(add_fp, batch_format="pyarrow")
-        .map_batches(make_minhash_fn(cfg), batch_format="pyarrow",
-                     batch_size=cfg.batch_size)
-        .select_columns(["fp64", "sig", "band_hash"])
-    )
-    new_sigs = grouped_apply(
-        new_sigs, ["fp64"], _distinct_sigs, num_partitions=cfg.num_partitions
-    ).materialize()
+    if new_sigs is None:
+        new_sigs = snapshot_sigs(new_docs_ds, cfg, text_col)
 
     def tag(side_val: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -301,14 +300,23 @@ def probe_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
 
 
 def extend_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
-                       text_col: str = "text") -> dict:
+                       text_col: str = "text", new_sigs=None) -> dict:
     """Merge a new snapshot INTO a frozen index — the third lifecycle step
     (freeze → probe → extend), so next month's crawl probes old+new
     without any rebuild. New docs whose fp64 already exists in the index
     are skipped (the signatures table stays distinct-by-fp64, the
     content-addressed invariant); genuinely new rows are appended as new
     parquet files in the existing ``signatures/``/``buckets/`` dirs and
-    the manifest count is bumped atomically.
+    the manifest count is bumped atomically. Pass ``new_sigs`` (a
+    :func:`snapshot_sigs` result) to share one MinHash pass with a
+    preceding :func:`probe_dedup_index`.
+
+    Crash safety: buckets are appended BEFORE signatures. The existing-fp
+    filter reads the SIGNATURES side, so a crash between the two writes
+    leaves orphan bucket rows that a retry simply re-appends (duplicate
+    bucket rows are deduped by the probe's (bkt, side, fp) first-mask) —
+    the reverse order would make the retry skip the half-committed fps
+    and leave them invisible to every future probe.
 
     The existing-fp filter broadcasts the index's fp64 column (8 B/doc —
     ~160 MB at the BROADCAST_SIG_LIMIT); past that scale the same filter
@@ -316,7 +324,7 @@ def extend_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
     import ray
     import ray.data as rd
 
-    from sick_ray.shuffle import assemble_blocks
+    from sick_ray.shuffle import assemble_blocks, unique_fp64
 
     manifest = load_index_manifest(index_dir)
     want = _sig_identity(cfg)
@@ -325,27 +333,12 @@ def extend_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
         raise ValueError(
             f"index config mismatch: index built with {got}, extend uses {want}"
         )
-
-    def add_fp(batch: pa.Table) -> pa.Table:
-        return _add_fp(batch, text_col)
-
-    new_sigs = (
-        new_docs_ds.map_batches(add_fp, batch_format="pyarrow")
-        .map_batches(make_minhash_fn(cfg), batch_format="pyarrow",
-                     batch_size=cfg.batch_size)
-        .select_columns(["fp64", "sig", "band_hash"])
-    )
-    new_sigs = grouped_apply(
-        new_sigs, ["fp64"], _distinct_sigs, num_partitions=cfg.num_partitions
-    )
+    if new_sigs is None:
+        new_sigs = snapshot_sigs(new_docs_ds, cfg, text_col)
 
     old_fps = rd.read_parquet(os.path.join(index_dir, "signatures"),
                               columns=["fp64"]).materialize()
-
-    def finalize_fps(tbl: pa.Table) -> np.ndarray:
-        return np.unique(tbl.column("fp64").to_numpy(zero_copy_only=False))
-
-    fp_ref = assemble_blocks(old_fps, ["fp64"], finalize_fps,
+    fp_ref = assemble_blocks(old_fps, ["fp64"], unique_fp64,
                              empty=np.empty(0, dtype=np.int64))
 
     def drop_existing(batch: pa.Table) -> pa.Table:
@@ -360,11 +353,11 @@ def extend_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
                                  batch_format="pyarrow").materialize()
     n_added = fresh.count()
     if n_added:
-        fresh.select_columns(["fp64", "sig"]).write_parquet(
-            os.path.join(index_dir, "signatures"))
         fresh.select_columns(["fp64", "band_hash"]).map_batches(
             explode_bands, batch_format="pyarrow"
         ).write_parquet(os.path.join(index_dir, "buckets"))
+        fresh.select_columns(["fp64", "sig"]).write_parquet(
+            os.path.join(index_dir, "signatures"))
     manifest["n_docs_indexed"] += n_added
     tmp = os.path.join(index_dir, "_INDEX.json.tmp")
     with open(tmp, "w") as f:

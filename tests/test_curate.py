@@ -611,6 +611,13 @@ def test_canonicalize_urls_rules():
         ("Relative/Path/?ref=z", "Relative/Path"),
         # non-tracking urls untouched
         ("https://a.b/x?a=1&b=2", "https://a.b/x?a=1&b=2"),
+        # keys anchored at [?&]: href/xref and path segments survive
+        ("https://h/x?href=abc&b=1", "https://h/x?href=abc&b=1"),
+        ("https://h/path/ref=1&seg/x", "https://h/path/ref=1&seg/x"),
+        # tracking strings embedded in a VALUE survive
+        ("https://h/x?a=utm_x=5", "https://h/x?a=utm_x=5"),
+        # runs of consecutive tracking params strip in one pass
+        ("https://h/x?utm_a=1&utm_b=2&utm_c=3&real=x", "https://h/x?real=x"),
     ]
     got = canonicalize_urls(pa.array([c[0] for c in cases])).to_pylist()
     for (raw, want), g in zip(cases, got):
