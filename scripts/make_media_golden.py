@@ -160,5 +160,69 @@ def main() -> None:
     print(f"wrote {table.num_rows} rows ({n_fail} failed) -> {OUT}")
 
 
+# ---------------------------------------------------- phash golden table
+#
+# Second golden output: scalar dHash of the planted-dup fixture
+# (synth_media_dups(240, seed=11)) -> media_phash_golden.parquet, read by
+# the media_phash_near_dup oracle (an O(n^2) bit_count(xor()) self-join
+# in DuckDB). Pure-Python thumbnail cells + a bit loop — deliberately
+# different code from the engine's vectorized integral image + packbits.
+
+PHASH_OUT = "/root/repo/tests/golden/media_phash_golden.parquet"
+
+
+def thumb_cells_scalar(h: int, w: int, rows) -> list:
+    gray = [[299 * r + 587 * g + 114 * b for (r, g, b) in row] for row in rows]
+    ys = [(i * h) // THUMB for i in range(THUMB + 1)]
+    xs = [(i * w) // THUMB for i in range(THUMB + 1)]
+    cells = []
+    for i in range(THUMB):
+        for j in range(THUMB):
+            s = 0
+            for y in range(ys[i], ys[i + 1]):
+                for x in range(xs[j], xs[j + 1]):
+                    s += gray[y][x]
+            area = max((ys[i + 1] - ys[i]) * (xs[j + 1] - xs[j]), 1)
+            cells.append((s // (area * 1000)) & 0xFF)
+    return cells
+
+
+def dhash_scalar(cells: list) -> int:
+    h = 0
+    bit = 0
+    for r in range(THUMB):
+        for c in range(THUMB - 1):
+            if cells[r * THUMB + c + 1] > cells[r * THUMB + c]:
+                h |= 1 << bit
+            bit += 1
+    return h
+
+
+def main_phash() -> None:
+    from sick_ray.stages.multimodal import synth_media_dups
+
+    media = synth_media_dups(240, seed=11)
+    ids = media.column("media_id").to_pylist()
+    payloads = media.column("payload").to_pylist()
+    out_id, out_ph = [], []
+    n_fail = 0
+    for mid, p in zip(ids, payloads):
+        try:
+            h, w, rows = decode_bmp_scalar(p)
+            out_id.append(int(mid))
+            out_ph.append(dhash_scalar(thumb_cells_scalar(h, w, rows)))
+        except (ValueError, struct.error):
+            n_fail += 1   # failed decodes are EXCLUDED (engine drops them)
+    table = pa.table(
+        {
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "phash": pa.array(out_ph, type=pa.int64()),
+        }
+    )
+    pq.write_table(table, PHASH_OUT, compression="zstd")
+    print(f"wrote {table.num_rows} phash rows ({n_fail} failed) -> {PHASH_OUT}")
+
+
 if __name__ == "__main__":
     main()
+    main_phash()

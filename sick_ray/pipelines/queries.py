@@ -3654,6 +3654,40 @@ def q_snapshot_near_dup_docs(sf_dir: str):
     return pairs.map_batches(finish, batch_format="pyarrow")
 
 
+MEDIA_PHASH_GOLDEN = "/root/repo/tests/golden/media_phash_golden.parquet"
+
+
+def q_media_phash_near_dup(sf_dir: str):
+    """IMAGE near-dup via 56-bit perceptual dHash over REAL decoded BMP
+    pixels (stages/multimodal.py::phash_near_dup): decode (actor pool) →
+    integer-exact 8×8 thumbnail → dHash → 4×14-bit band LSH → inline
+    hamming-≤3 verify. The banding is lossless at this threshold
+    (pigeonhole), so the output is exactly the hamming-≤3 pair set and
+    the oracle is a full O(n²) bit_count(xor()) self-join in DuckDB over
+    a golden phash table computed by an INDEPENDENT scalar decode +
+    bit-loop (scripts/make_media_golden.py::main_phash — the
+    media_decode_real conformance discipline). Corrupt payloads are
+    excluded on both sides."""
+    import ray.data as rd
+
+    from sick_ray.stages.multimodal import phash_near_dup, synth_media_dups
+
+    media = rd.from_arrow(synth_media_dups(240, seed=11))
+    return phash_near_dup(media, num_partitions=QCFG.num_partitions,
+                          concurrency=2)
+
+
+SQL_MEDIA_PHASH_NEAR_DUP = f"""
+WITH g AS (
+  SELECT media_id, phash FROM read_parquet('{MEDIA_PHASH_GOLDEN}')
+)
+SELECT a.media_id AS u, b.media_id AS v,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+FROM g a JOIN g b ON b.media_id > a.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 SEARCH_PATTERNS = ["merge batch", "window table", "hash value"]
 
 
@@ -3764,6 +3798,7 @@ QUERIES = {
     "shard_docs": q_shard_docs,
     "substring_search_docs": q_substring_search_docs,
     "snapshot_near_dup_docs": q_snapshot_near_dup_docs,
+    "media_phash_near_dup": q_media_phash_near_dup,
 }
 
 ORACLES = {
@@ -3835,6 +3870,7 @@ ORACLES = {
     "snapshot_dedup_docs": SQL_SNAPSHOT_DEDUP_DOCS,
     "shard_docs": SQL_SHARD_DOCS,
     "substring_search_docs": SQL_SUBSTRING_SEARCH_DOCS,
+    "media_phash_near_dup": SQL_MEDIA_PHASH_NEAR_DUP,
     # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
     # embedding_near_dup / media_decode: not SQL-expressible
     # (content-addressed ids, spans drift, LSH/IVF approximation,

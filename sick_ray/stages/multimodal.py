@@ -25,6 +25,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+# module-level, NOT function-local inside worker callables: sick_ray is
+# pickled by value, and a function-local `from sick_ray...` re-resolves by
+# name on the worker at call time (ModuleNotFoundError under a foreign-cwd
+# driver — see the verify skill)
+from sick_ray.shuffle import first_mask, mix64, segment_pairs, sort_index
 from sick_ray.xxh import xxh64, xxh64_strings
 
 IMAGE_SCHEMA = pa.schema(
@@ -374,3 +379,214 @@ def decode_media(media_ds, concurrency: int = 4, batch_size: int = 64):
         concurrency=(1, concurrency),
     )
     return imgs, wavs
+
+
+# ------------------------------------------------ perceptual-hash near-dup
+
+def dhash56(thumbs: np.ndarray) -> np.ndarray:
+    """(n, 64) uint8 8×8 thumbnails → 56-bit dHash packed in int64.
+
+    Difference hash (horizontal gradient sign, row-major bit order):
+    bit (r, c) = thumb[r, c+1] > thumb[r, c]. INTEGER-EXACT end to end —
+    the thumbnail is already integer-exact (_thumbnail), so any
+    independent implementation reproduces the hash bit-for-bit (the
+    media-golden conformance discipline)."""
+    t = thumbs.reshape(-1, 8, 8)
+    bits = (t[:, :, 1:] > t[:, :, :-1]).reshape(-1, 56).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(56, dtype=np.uint64)
+    return (bits * weights).sum(axis=1).astype(np.uint64).view(np.int64)
+
+
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 14
+PHASH_HAMMING = 3
+
+
+def synth_media_dups(n: int = 240, seed: int = 11) -> pa.Table:
+    """Deterministic BMP fixture with PLANTED near-duplicate images:
+    random block-pattern bases; every third image is a near-dup of the
+    previous base (sparse pixel noise — hamming-close thumbnails), every
+    eighth an exact byte dup; ~2% corrupt payloads (decode-error
+    exclusion coverage)."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    prev = None
+    for i in range(n):
+        if i % 8 == 7 and prev is not None:
+            payloads.append(payloads[-1])          # exact dup
+            continue
+        if i % 3 == 2 and prev is not None:
+            px = prev.copy()
+            # sparse noise: flip a few random pixels slightly
+            m = rng.random(px.shape[:2]) < 0.02
+            px[m] = np.clip(
+                px[m].astype(np.int16)
+                + rng.integers(-12, 13, size=(int(m.sum()), 3)),
+                0, 255,
+            ).astype(np.uint8)
+            payloads.append(encode_bmp(px))
+            continue
+        h = int(rng.integers(16, 40))
+        w = int(rng.integers(16, 40))
+        # blocky random pattern: dHash-stable under small noise
+        blocks = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        px = np.kron(blocks, np.ones((max(h // 4, 1), max(w // 4, 1), 1),
+                                     dtype=np.uint8))[:h, :w]
+        if px.shape[0] < h or px.shape[1] < w:   # pad the kron remainder
+            px = np.pad(px, ((0, h - px.shape[0]), (0, w - px.shape[1]),
+                             (0, 0)), mode="edge")
+        prev = px
+        payloads.append(encode_bmp(px))
+    for i in rng.choice(n, size=max(1, n // 50), replace=False):
+        payloads[i] = payloads[i][:10]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array(["image/bmp"] * n),
+        }
+    )
+
+
+def _phash_band_rows(batch: pa.Table) -> pa.Table:
+    """(media_id, phash) → 4 × 14-bit band-bucket rows (bkt, media_id,
+    phash). Decode failures are excluded upstream."""
+    ph = batch.column("phash").to_numpy(zero_copy_only=False).view(np.uint64)
+    ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+    n = len(ph)
+    mask = np.uint64((1 << PHASH_BAND_BITS) - 1)
+    out_b, out_i, out_h = [], [], []
+    for band in range(PHASH_BANDS):
+        val = (ph >> np.uint64(band * PHASH_BAND_BITS)) & mask
+        bkt = mix64(val * np.uint64(0x9E3779B185EBCA87)
+                    + np.uint64(band + 1)).view(np.int64)
+        out_b.append(bkt)
+        out_i.append(ids)
+        out_h.append(ph.view(np.int64))
+    return pa.table(
+        {
+            "bkt": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "media_id": pa.array(np.concatenate(out_i), type=pa.int64()),
+            "phash": pa.array(np.concatenate(out_h), type=pa.int64()),
+        }
+    )
+
+
+def _phash_pair_partition(part: pa.Table) -> pa.Table:
+    """Per-partition: all within-bucket pairs (segment_pairs, capped +
+    counted) verified INLINE by popcount(xor) ≤ PHASH_HAMMING — hashes
+    ride the bucket rows, so no second lookup stage. kind 0 = verified
+    edge, 2 = truncation counter row."""
+    empty = pa.table(
+        {
+            "u": pa.array([], type=pa.int64()),
+            "v": pa.array([], type=pa.int64()),
+            "dist": pa.array([], type=pa.int64()),
+            "kind": pa.array([], type=pa.int8()),
+        }
+    )
+    if part.num_rows == 0:
+        return empty
+    bkt = part.column("bkt").to_numpy(zero_copy_only=False)
+    ids = part.column("media_id").to_numpy(zero_copy_only=False)
+    ph = part.column("phash").to_numpy(zero_copy_only=False)
+    order = sort_index(bkt, ids)
+    bk, di, hh = bkt[order], ids[order], ph[order]
+    # drop duplicate (bkt, media_id) rows (several bands of one image can
+    # land in one partition only as distinct bkts, but be safe)
+    keep = first_mask(bk) | (di != np.concatenate([[~di[0]], di[:-1]]))
+    bk, di, hh = bk[keep], di[keep], hh[keep]
+    i_idx, j_idx, tp, tb = segment_pairs(bk, cap=4096)
+    u, v = di[i_idx], di[j_idx]
+    x = (hh[i_idx].view(np.uint64)) ^ (hh[j_idx].view(np.uint64))
+    dist = np.zeros(len(x), dtype=np.int64)
+    xx = x.copy()
+    while xx.any():
+        dist += (xx & np.uint64(1)).astype(np.int64)
+        xx >>= np.uint64(1)
+    ok = (dist <= PHASH_HAMMING) & (u != v)
+    out_u = [u[ok]]
+    out_v = [v[ok]]
+    out_d = [dist[ok]]
+    out_k = [np.zeros(int(ok.sum()), dtype=np.int8)]
+    if tp or tb:
+        out_u.append(np.array([tp], dtype=np.int64))
+        out_v.append(np.array([tb], dtype=np.int64))
+        out_d.append(np.zeros(1, dtype=np.int64))
+        out_k.append(np.full(1, 2, dtype=np.int8))
+    return pa.table(
+        {
+            "u": pa.array(np.concatenate(out_u), type=pa.int64()),
+            "v": pa.array(np.concatenate(out_v), type=pa.int64()),
+            "dist": pa.array(np.concatenate(out_d), type=pa.int64()),
+            "kind": pa.array(np.concatenate(out_k), type=pa.int8()),
+        }
+    )
+
+
+def _phash_distinct_pairs(part: pa.Table) -> pa.Table:
+    """Distinct (u, v, dist) — an edge found via several bands collapses."""
+    if part.num_rows == 0:
+        return part
+    u = part.column("u").to_numpy(zero_copy_only=False)
+    v = part.column("v").to_numpy(zero_copy_only=False)
+    d = part.column("dist").to_numpy(zero_copy_only=False)
+    order = sort_index(u, v)
+    us, vs, ds = u[order], v[order], d[order]
+    keep = first_mask(us) | (vs != np.concatenate([[~vs[0]], vs[:-1]]))
+    return pa.table(
+        {
+            "u": pa.array(us[keep], type=pa.int64()),
+            "v": pa.array(vs[keep], type=pa.int64()),
+            "dist": pa.array(ds[keep], type=pa.int64()),
+        }
+    )
+
+
+def _add_phash(batch: pa.Table) -> pa.Table:
+    """thumb fixed_size_list<uint8, 64> → phash int64; failed decodes
+    dropped (their thumbnails are zero-filled and would all collide)."""
+    ok = pa.compute.is_null(batch.column("decode_err"))
+    b = batch.filter(ok)
+    th = b.column("thumb")
+    if isinstance(th, pa.ChunkedArray):
+        th = th.combine_chunks()
+    flat = th.flatten().to_numpy(zero_copy_only=False).reshape(-1, 64)
+    return pa.table(
+        {
+            "media_id": b.column("media_id"),
+            "phash": pa.array(dhash56(flat), type=pa.int64()),
+        }
+    )
+
+
+def phash_near_dup(media_ds, num_partitions: int = 16,
+                   concurrency: int = 4, counters: dict | None = None):
+    """Image near-dup via 56-bit dHash: decode (actor pool) → thumbnail →
+    dHash → 4 × 14-bit band LSH → within-bucket pairs verified inline by
+    hamming ≤ 3. The banding is LOSSLESS for this threshold (pigeonhole:
+    ≤3 differing bits across 4 bands leave ≥1 band identical), so the
+    output is EXACTLY the hamming-≤3 pair set — which is what makes the
+    O(n²) DuckDB oracle over the golden phash table byte-exact rather
+    than recall-bounded. Wide payload bytes die at the decode stage;
+    the shuffle moves 24 B/row band buckets."""
+    from sick_ray.shuffle import (
+        collect_counter_rows,
+        grouped_apply,
+        kind_filter,
+    )
+
+    imgs = media_ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, concurrency),
+    )
+    hashes = imgs.map_batches(_add_phash, batch_format="pyarrow")
+    bands = hashes.map_batches(_phash_band_rows, batch_format="pyarrow")
+    raw = grouped_apply(bands, ["bkt"], _phash_pair_partition,
+                        num_partitions=num_partitions)
+    raw = collect_counter_rows(raw, counters, "truncated_pairs",
+                               "truncated_buckets")
+    pairs = raw.map_batches(kind_filter(0), batch_format="pyarrow") \
+        .select_columns(["u", "v", "dist"])
+    return grouped_apply(pairs, ["u", "v"], _phash_distinct_pairs,
+                         num_partitions=num_partitions)

@@ -492,3 +492,63 @@ def test_quantile_sketch_rank_error(ray_session):
     exact = q_price_quantiles(sf).to_pandas().sort_values(
         "l_returnflag").reset_index(drop=True)
     pd.testing.assert_frame_equal(big, exact, check_dtype=False)
+
+
+# ------------------------------------------------------ perceptual dHash
+
+def test_dhash56_matches_scalar_reference():
+    """Vectorized packbits dHash == an independent scalar bit loop."""
+    from sick_ray.stages.multimodal import dhash56
+
+    rng = np.random.default_rng(3)
+    thumbs = rng.integers(0, 256, size=(32, 64), dtype=np.uint8)
+    got = dhash56(thumbs).view(np.uint64)
+    for i, t in enumerate(thumbs):
+        h, bit = 0, 0
+        for r in range(8):
+            for c in range(7):
+                if t[r * 8 + c + 1] > t[r * 8 + c]:
+                    h |= 1 << bit
+                bit += 1
+        assert int(got[i]) == h
+
+
+def test_phash_near_dup_exact_vs_bruteforce(ray_session):
+    """Engine band-LSH output == the full O(n²) hamming-≤3 pair set
+    (banding is lossless at this threshold), and planted near-dups are
+    found."""
+    import ray.data as rd
+
+    from sick_ray.stages.multimodal import (
+        ImageDecoder,
+        dhash56,
+        phash_near_dup,
+        synth_media_dups,
+    )
+
+    media = synth_media_dups(240, seed=11)
+    counters = {}
+    got = phash_near_dup(rd.from_arrow(media), num_partitions=8,
+                         concurrency=2, counters=counters).to_pandas()
+    got_set = set(zip(got["u"], got["v"], got["dist"]))
+
+    # brute force from the engine's own decode path
+    dec = ImageDecoder()(media)
+    ok = np.array([e is None for e in dec.column("decode_err").to_pylist()])
+    ids = dec.column("media_id").to_numpy(zero_copy_only=False)[ok]
+    th = dec.column("thumb").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).reshape(-1, 64)[ok]
+    ph = dhash56(th).view(np.uint64)
+    want = set()
+    for i in range(len(ids)):
+        x = ph[i] ^ ph[i + 1:]
+        d = np.zeros(len(x), dtype=np.int64)
+        xx = x.copy()
+        while xx.any():
+            d += (xx & np.uint64(1)).astype(np.int64)
+            xx >>= np.uint64(1)
+        for j in np.flatnonzero(d <= 3):
+            want.add((int(ids[i]), int(ids[i + 1 + j]), int(d[j])))
+    assert got_set == want
+    assert len(want) > 50, "fixture must plant a meaningful dup set"
+    assert counters["truncated_pairs"] == 0
