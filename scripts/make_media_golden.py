@@ -223,6 +223,58 @@ def main_phash() -> None:
     print(f"wrote {table.num_rows} phash rows ({n_fail} failed) -> {PHASH_OUT}")
 
 
+# ---------------------------------------------------- ahash golden table
+
+AHASH_OUT = "/root/repo/tests/golden/media_ahash_golden.parquet"
+
+
+def ahash_scalar(samples: list) -> int:
+    """Pure-Python energy-envelope hash (ints only) — independent of the
+    engine's cumsum/ndarray formulation."""
+    n = len(samples)
+    if n == 0:
+        raise ValueError("empty audio")
+    sq = [s * s for s in samples]
+    bounds = [(i * n) // 57 for i in range(58)]
+    total = sum(sq)
+    h = 0
+    for i in range(56):
+        e = sum(sq[bounds[i]:bounds[i + 1]])
+        ln = bounds[i + 1] - bounds[i]
+        if e * n > total * ln:
+            h |= 1 << i
+    return h
+
+
+def main_ahash() -> None:
+    from sick_ray.stages.multimodal import synth_audio_dups
+
+    media = synth_audio_dups(200, seed=13)
+    ids = media.column("media_id").to_pylist()
+    payloads = media.column("payload").to_pylist()
+    out_id, out_ph = [], []
+    n_fail = 0
+    for mid, p in zip(ids, payloads):
+        try:
+            _rate, samples = decode_wav_scalar(p)
+            if not samples:
+                raise ValueError("empty audio")
+            out_id.append(int(mid))
+            out_ph.append(ahash_scalar(samples))
+        except (ValueError, struct.error):
+            n_fail += 1
+    table = pa.table(
+        {
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "phash": pa.array(np.array(out_ph, dtype=np.uint64)
+                              .view(np.int64), type=pa.int64()),
+        }
+    )
+    pq.write_table(table, AHASH_OUT, compression="zstd")
+    print(f"wrote {table.num_rows} ahash rows ({n_fail} failed) -> {AHASH_OUT}")
+
+
 if __name__ == "__main__":
     main()
     main_phash()
+    main_ahash()

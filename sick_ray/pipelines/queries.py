@@ -3688,6 +3688,37 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 
+MEDIA_AHASH_GOLDEN = "/root/repo/tests/golden/media_ahash_golden.parquet"
+
+
+def q_media_ahash_near_dup(sf_dir: str):
+    """AUDIO near-dup via the 56-bit integer-exact energy-envelope hash
+    over REAL decoded PCM WAV samples (stages/multimodal.py::
+    ahash_near_dup) — the audio twin of media_phash_near_dup, sharing
+    the lossless 4-band hamming-≤3 machinery (hash_near_dup_pairs), so
+    the oracle is again a full O(n²) bit_count(xor) self-join over a
+    golden table computed by an independent scalar decode + int loop
+    (make_media_golden.py::main_ahash)."""
+    import ray.data as rd
+
+    from sick_ray.stages.multimodal import ahash_near_dup, synth_audio_dups
+
+    media = rd.from_arrow(synth_audio_dups(200, seed=13))
+    return ahash_near_dup(media, num_partitions=QCFG.num_partitions,
+                          concurrency=2)
+
+
+SQL_MEDIA_AHASH_NEAR_DUP = f"""
+WITH g AS (
+  SELECT media_id, phash FROM read_parquet('{MEDIA_AHASH_GOLDEN}')
+)
+SELECT a.media_id AS u, b.media_id AS v,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+FROM g a JOIN g b ON b.media_id > a.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 SEARCH_PATTERNS = ["merge batch", "window table", "hash value"]
 
 
@@ -3799,6 +3830,7 @@ QUERIES = {
     "substring_search_docs": q_substring_search_docs,
     "snapshot_near_dup_docs": q_snapshot_near_dup_docs,
     "media_phash_near_dup": q_media_phash_near_dup,
+    "media_ahash_near_dup": q_media_ahash_near_dup,
 }
 
 ORACLES = {
@@ -3871,6 +3903,7 @@ ORACLES = {
     "shard_docs": SQL_SHARD_DOCS,
     "substring_search_docs": SQL_SUBSTRING_SEARCH_DOCS,
     "media_phash_near_dup": SQL_MEDIA_PHASH_NEAR_DUP,
+    "media_ahash_near_dup": SQL_MEDIA_AHASH_NEAR_DUP,
     # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
     # embedding_near_dup / media_decode: not SQL-expressible
     # (content-addressed ids, spans drift, LSH/IVF approximation,

@@ -560,28 +560,22 @@ def _add_phash(batch: pa.Table) -> pa.Table:
     )
 
 
-def phash_near_dup(media_ds, num_partitions: int = 16,
-                   concurrency: int = 4, counters: dict | None = None):
-    """Image near-dup via 56-bit dHash: decode (actor pool) → thumbnail →
-    dHash → 4 × 14-bit band LSH → within-bucket pairs verified inline by
-    hamming ≤ 3. The banding is LOSSLESS for this threshold (pigeonhole:
-    ≤3 differing bits across 4 bands leave ≥1 band identical), so the
-    output is EXACTLY the hamming-≤3 pair set — which is what makes the
-    O(n²) DuckDB oracle over the golden phash table byte-exact rather
-    than recall-bounded. Wide payload bytes die at the decode stage;
-    the shuffle moves 24 B/row band buckets."""
+def hash_near_dup_pairs(hash_ds, num_partitions: int = 16,
+                        counters: dict | None = None):
+    """Shared back half of every 56-bit perceptual-hash near-dup: a
+    (media_id, phash) Dataset → the EXACT hamming-≤PHASH_HAMMING pair
+    set via 4 × 14-bit band LSH with inline popcount verify. Lossless at
+    this threshold (pigeonhole: ≤3 differing bits across 4 bands leave
+    ≥1 band identical) — which is what lets each caller's DuckDB oracle
+    be a full O(n²) bit_count(xor) self-join rather than recall-bounded.
+    The shuffle moves 24 B/row band buckets."""
     from sick_ray.shuffle import (
         collect_counter_rows,
         grouped_apply,
         kind_filter,
     )
 
-    imgs = media_ds.map_batches(
-        ImageDecoder, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, concurrency),
-    )
-    hashes = imgs.map_batches(_add_phash, batch_format="pyarrow")
-    bands = hashes.map_batches(_phash_band_rows, batch_format="pyarrow")
+    bands = hash_ds.map_batches(_phash_band_rows, batch_format="pyarrow")
     raw = grouped_apply(bands, ["bkt"], _phash_pair_partition,
                         num_partitions=num_partitions)
     raw = collect_counter_rows(raw, counters, "truncated_pairs",
@@ -590,3 +584,127 @@ def phash_near_dup(media_ds, num_partitions: int = 16,
         .select_columns(["u", "v", "dist"])
     return grouped_apply(pairs, ["u", "v"], _phash_distinct_pairs,
                          num_partitions=num_partitions)
+
+
+def phash_near_dup(media_ds, num_partitions: int = 16,
+                   concurrency: int = 4, counters: dict | None = None):
+    """Image near-dup via 56-bit dHash: decode (actor pool) → thumbnail →
+    dHash → hash_near_dup_pairs. Wide payload bytes die at the decode
+    stage."""
+    imgs = media_ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, concurrency),
+    )
+    hashes = imgs.map_batches(_add_phash, batch_format="pyarrow")
+    return hash_near_dup_pairs(hashes, num_partitions, counters)
+
+
+# ------------------------------------------------ audio envelope hash
+
+AHASH_WINDOWS = 57   # 56 bits: window mean energy vs global mean
+
+
+def ahash56(samples: np.ndarray) -> int:
+    """int16 samples → 56-bit energy-envelope hash (int), INTEGER-EXACT.
+
+    Bit i = (mean energy of window i) > (global mean energy), compared by
+    integer cross-multiplication ``E_i * n > total * L_i`` — no float
+    ever, so an independent scalar implementation reproduces the hash
+    bit-for-bit (the media-golden conformance discipline). Windows are
+    ``(i*n)//57`` slices; the last window is the spare (56 bits used).
+    Stable under small additive noise when the signal has a blocky
+    amplitude envelope (energy margins dominated by level changes)."""
+    n = len(samples)
+    if n == 0:
+        raise ValueError("empty audio")
+    sq = samples.astype(np.int64) ** 2
+    cs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(sq)])
+    bounds = (np.arange(AHASH_WINDOWS + 1, dtype=np.int64) * n) // AHASH_WINDOWS
+    e = cs[bounds[1:]] - cs[bounds[:-1]]
+    ln = bounds[1:] - bounds[:-1]
+    total = int(cs[-1])
+    # python ints: e_i * n is exact at any magnitude (int64 would overflow
+    # at ~2^63 / n for loud long clips)
+    bits = [int(e[i]) * n > total * int(ln[i]) for i in range(56)]
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    return h
+
+
+class AudioHasher:
+    """Actor-pool stage: WAV payload → (media_id, phash) with per-row
+    error isolation (corrupt/empty clips are dropped like failed image
+    decodes — a zero hash would collide everything)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        out_id, out_h = [], []
+        for mid, p in zip(ids, payloads):
+            try:
+                _rate, samples = decode_wav(p)
+                out_h.append(ahash56(samples))
+                out_id.append(int(mid))
+            except Exception:  # wave raises bare Error/EOFError
+                continue
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "phash": pa.array(np.array(out_h, dtype=np.uint64)
+                                  .view(np.int64), type=pa.int64()),
+            }
+        )
+
+
+def synth_audio_dups(n: int = 200, seed: int = 13) -> pa.Table:
+    """Deterministic WAV fixture with PLANTED near-duplicate clips:
+    blocky 8-segment amplitude envelopes (levels from a geometric spread,
+    so window-vs-global-mean energy margins are wide) over a sine
+    carrier; every third clip is a near-dup of the previous base (small
+    additive noise), every eighth an exact byte dup; ~2% corrupt."""
+    rng = np.random.default_rng(seed)
+    levels = np.array([1000, 3000, 9000])
+    payloads = []
+    prev = None
+    for i in range(n):
+        if i % 8 == 7 and prev is not None:
+            payloads.append(payloads[-1])
+            continue
+        if i % 3 == 2 and prev is not None:
+            s = np.clip(
+                prev.astype(np.int32)
+                + rng.integers(-60, 61, size=len(prev)), -32768, 32767,
+            ).astype(np.int16)
+            payloads.append(encode_wav(s))
+            continue
+        n_samp = int(rng.integers(2000, 6000))
+        f = float(rng.uniform(200, 1500))
+        amp = levels[rng.integers(0, 3, size=8)]
+        env = np.repeat(amp, -(-n_samp // 8))[:n_samp]
+        t = np.arange(n_samp)
+        s = (env * np.sin(2 * np.pi * f * t / 16000)).astype(np.int16)
+        prev = s
+        payloads.append(encode_wav(s))
+    for i in rng.choice(n, size=max(1, n // 50), replace=False):
+        payloads[i] = payloads[i][:10]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array(["audio/wav"] * n),
+        }
+    )
+
+
+def ahash_near_dup(media_ds, num_partitions: int = 16,
+                   concurrency: int = 4, counters: dict | None = None):
+    """Audio near-dup via the 56-bit energy-envelope hash: decode + hash
+    (actor pool) → hash_near_dup_pairs (same lossless band LSH as the
+    image path)."""
+    hashes = media_ds.map_batches(
+        AudioHasher, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, concurrency),
+    )
+    return hash_near_dup_pairs(hashes, num_partitions, counters)

@@ -552,3 +552,52 @@ def test_phash_near_dup_exact_vs_bruteforce(ray_session):
     assert got_set == want
     assert len(want) > 50, "fixture must plant a meaningful dup set"
     assert counters["truncated_pairs"] == 0
+
+
+def test_ahash56_matches_scalar_reference():
+    """Vectorized cumsum ahash == an independent pure-int scalar loop."""
+    from sick_ray.stages.multimodal import ahash56
+
+    rng = np.random.default_rng(5)
+    for _ in range(8):
+        s = rng.integers(-30000, 30000,
+                         size=int(rng.integers(60, 3000))).astype(np.int16)
+        sq = [int(x) * int(x) for x in s.tolist()]
+        n = len(sq)
+        bounds = [(i * n) // 57 for i in range(58)]
+        total = sum(sq)
+        h = 0
+        for i in range(56):
+            e = sum(sq[bounds[i]:bounds[i + 1]])
+            if e * n > total * (bounds[i + 1] - bounds[i]):
+                h |= 1 << i
+        assert ahash56(s) == h
+
+
+def test_ahash_near_dup_exact_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from sick_ray.stages.multimodal import (
+        AudioHasher,
+        ahash_near_dup,
+        synth_audio_dups,
+    )
+
+    media = synth_audio_dups(200, seed=13)
+    counters = {}
+    got = ahash_near_dup(rd.from_arrow(media), num_partitions=8,
+                         concurrency=2, counters=counters).to_pandas()
+    got_set = set(zip(got["u"], got["v"], got["dist"]))
+
+    hashed = AudioHasher()(media)
+    ids = hashed.column("media_id").to_numpy(zero_copy_only=False)
+    ph = hashed.column("phash").to_numpy(zero_copy_only=False).view(np.uint64)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(int(ph[i] ^ ph[j])).count("1")
+            if d <= 3:
+                want.add((int(ids[i]), int(ids[j]), d))
+    assert got_set == want
+    assert len(want) > 40, "fixture must plant a meaningful dup set"
+    assert counters["truncated_pairs"] == 0
