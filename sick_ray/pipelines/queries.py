@@ -3688,6 +3688,51 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 
+def q_source_stats(sf_dir: str):
+    """Per-source corpus audit — the rollup a mixing decision reads before
+    setting domain weights: doc count, distinct languages, total chars,
+    total tokens. Vectorized per-batch partials on (source, lang), tiny
+    driver combine (source × lang cardinality is small by nature; at
+    10^12 docs this is the same ≤ thousands-of-rows fold)."""
+    from sick_ray.functions.text import add_token_count
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_token_count(batch)
+        df = b.select(["source", "lang", "n_chars", "token_count"]).to_pandas()
+        g = df.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_chars", "size"),
+            total_chars=("n_chars", "sum"),
+            total_tokens=("token_count", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    bylang = parts.groupby(["source", "lang"], as_index=False).sum()
+    out = bylang.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        n_langs=("lang", "nunique"),
+        total_chars=("total_chars", "sum"),
+        total_tokens=("total_tokens", "sum"),
+    )
+    for c in ("n_docs", "n_langs", "total_chars", "total_tokens"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_SOURCE_STATS = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       sum(n_chars) AS total_chars,
+       sum(len(regexp_extract_all(text, '[0-9A-Za-z]+'))) AS total_tokens
+FROM documents
+GROUP BY source
+"""
+
+
 MEDIA_AHASH_GOLDEN = "/root/repo/tests/golden/media_ahash_golden.parquet"
 
 
@@ -3831,6 +3876,7 @@ QUERIES = {
     "snapshot_near_dup_docs": q_snapshot_near_dup_docs,
     "media_phash_near_dup": q_media_phash_near_dup,
     "media_ahash_near_dup": q_media_ahash_near_dup,
+    "source_stats": q_source_stats,
 }
 
 ORACLES = {
@@ -3904,6 +3950,7 @@ ORACLES = {
     "substring_search_docs": SQL_SUBSTRING_SEARCH_DOCS,
     "media_phash_near_dup": SQL_MEDIA_PHASH_NEAR_DUP,
     "media_ahash_near_dup": SQL_MEDIA_AHASH_NEAR_DUP,
+    "source_stats": SQL_SOURCE_STATS,
     # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
     # embedding_near_dup / media_decode: not SQL-expressible
     # (content-addressed ids, spans drift, LSH/IVF approximation,
