@@ -26,7 +26,13 @@ import pyarrow.compute as pc
 
 from sick_ray.config import DedupConfig
 from sick_ray.functions.urlnorm import canonicalize_urls, synth_urls
-from sick_ray.shuffle import first_mask, grouped_apply, join_partitions, sort_index
+from sick_ray.shuffle import (
+    combine_keys,
+    first_mask,
+    grouped_apply,
+    join_partitions,
+    sort_index,
+)
 from sick_ray.xxh import xxh64_strings
 
 
@@ -3688,6 +3694,55 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 
+WINDOW_DEDUP_US = 10 * 60 * 1_000_000   # 10 minutes
+
+
+def _window_dedup_kernel(part: pa.Table) -> pa.Table:
+    """Keep an event iff no SAME-(user_id, event_type) event exists in the
+    preceding 10 minutes (previous-RAW-event semantic, = SQL LAG) —
+    vectorized: sort by (key-hash, ts, event_id), one diff per run."""
+    if part.num_rows == 0:
+        return part.select(["event_id", "user_id", "event_type", "ts"])
+    k = combine_keys(part, ["user_id", "event_type"]).view(np.int64)
+    ts = part.column("ts").to_numpy(zero_copy_only=False).view(np.int64)
+    eid = part.column("event_id").to_numpy(zero_copy_only=False)
+    order = sort_index(k, ts, eid)
+    ks, tss = k[order], ts[order]
+    fm = first_mask(ks)
+    diff = np.empty(len(tss), dtype=np.int64)
+    diff[0] = WINDOW_DEDUP_US + 1
+    diff[1:] = tss[1:] - tss[:-1]
+    keep = fm | (diff > WINDOW_DEDUP_US)
+    return part.take(pa.array(np.sort(order[keep]))).select(
+        ["event_id", "user_id", "event_type", "ts"])
+
+
+def q_events_window_dedup(sf_dir: str):
+    """Streaming windowed dedup — the alert-suppression / repeated-event
+    filter: drop an event when the same (user_id, event_type) fired
+    within the previous 10 minutes. One narrow hash shuffle on the key
+    (props/value never move), per-partition vectorized run-diff; the
+    previous-RAW-event semantic matches SQL LAG exactly (a
+    previous-KEPT-event semantic would be a sequential scan per key —
+    doable with the same kernel via a per-run loop, but not
+    SQL-window-expressible). Ties on ts break by event_id."""
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type", "ts"])
+    return grouped_apply(events, ["user_id", "event_type"],
+                         _window_dedup_kernel,
+                         num_partitions=QCFG.num_partitions)
+
+
+SQL_EVENTS_WINDOW_DEDUP = """
+SELECT event_id, user_id, event_type, ts FROM (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS pts
+  FROM events
+) WHERE pts IS NULL OR ts - pts > INTERVAL 10 MINUTE
+"""
+
+
 def q_source_stats(sf_dir: str):
     """Per-source corpus audit — the rollup a mixing decision reads before
     setting domain weights: doc count, distinct languages, total chars,
@@ -3877,6 +3932,7 @@ QUERIES = {
     "media_phash_near_dup": q_media_phash_near_dup,
     "media_ahash_near_dup": q_media_ahash_near_dup,
     "source_stats": q_source_stats,
+    "events_window_dedup": q_events_window_dedup,
 }
 
 ORACLES = {
@@ -3951,6 +4007,7 @@ ORACLES = {
     "media_phash_near_dup": SQL_MEDIA_PHASH_NEAR_DUP,
     "media_ahash_near_dup": SQL_MEDIA_AHASH_NEAR_DUP,
     "source_stats": SQL_SOURCE_STATS,
+    "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
     # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
     # embedding_near_dup / media_decode: not SQL-expressible
     # (content-addressed ids, spans drift, LSH/IVF approximation,
