@@ -211,3 +211,52 @@ def test_build_with_renamed_text_col(ray_session, tmp_path):
                               text_col="body").to_pandas()
     # self-probe: every doc at least matches itself
     assert (pairs["u"] == pairs["v"]).sum() == 10
+
+
+def test_extend_crash_between_writes_is_self_healing(halves, tmp_path,
+                                                     monkeypatch):
+    """The docstring's crash-safety claim, enforced: kill extend AFTER the
+    bucket append but BEFORE the signature append — a retry must still
+    add the snapshot's fps (the existing-fp filter reads signatures), and
+    a probe afterwards must behave as if the crash never happened
+    (duplicate bucket rows dedupe in the probe's first-mask)."""
+    import ray.data as rd
+
+    import sick_ray.stages.index as idx
+    from sick_ray.stages.index import extend_dedup_index
+
+    a, b = halves
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=8)
+    idx_dir = str(tmp_path / "idx")
+    build_dedup_index(rd.from_arrow(a), idx_dir, cfg)
+
+    # crash injection: extend writes buckets FIRST, then signatures —
+    # fail the signatures write once (buckets land, signatures don't)
+    real_write = rd.Dataset.write_parquet
+    state = {"fired": False}
+
+    def flaky_write(self, path, *args, **kw):
+        if "signatures" in str(path) and not state["fired"]:
+            state["fired"] = True
+            raise RuntimeError("injected crash before signatures write")
+        return real_write(self, path, *args, **kw)
+
+    n_before = load_index_manifest(idx_dir)["n_docs_indexed"]
+    monkeypatch.setattr(rd.Dataset, "write_parquet", flaky_write)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        extend_dedup_index(rd.from_arrow(b), idx_dir, cfg)
+    monkeypatch.setattr(rd.Dataset, "write_parquet", real_write)
+    assert state["fired"], "injection never reached the signatures write"
+
+    # manifest unbumped: the index still reads as the pre-extend snapshot
+    assert load_index_manifest(idx_dir)["n_docs_indexed"] == n_before
+
+    # retry succeeds and the extended index is fully probeable
+    ext = extend_dedup_index(rd.from_arrow(b), idx_dir, cfg)
+    assert ext["n_docs_added"] > 0
+    from sick_ray.xxh import xxh64_strings
+
+    fb = np.unique(xxh64_strings(b.column("text")).view(np.int64))
+    pairs = probe_dedup_index(rd.from_arrow(b), idx_dir, cfg).to_pandas()
+    self_matches = set(pairs.loc[pairs["u"] == pairs["v"], "u"].astype(np.int64))
+    assert set(fb.tolist()) <= self_matches
