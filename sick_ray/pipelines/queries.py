@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 
 from sick_ray.config import DedupConfig
 from sick_ray.functions.urlnorm import canonicalize_urls, synth_urls
+from sick_ray.stages.minhash import _string_col_buffers
 from sick_ray.shuffle import (
     combine_keys,
     first_mask,
@@ -3694,6 +3695,64 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 
+def _byte_stats_kernel(batch: pa.Table) -> pa.Table:
+    """Per-doc byte-histogram stats, fully vectorized: one bincount over
+    (doc_index * 256 + byte) for the whole batch — no per-doc loop."""
+    col = batch.column("text")
+    n = batch.num_rows
+    buf, offs = _string_col_buffers(col)   # zero-copy, slice/large-safe
+    lens = offs[1:] - offs[:-1]
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    codes = doc_idx * 256 + buf
+    counts = np.bincount(codes, minlength=n * 256).reshape(n, 256)
+    distinct = (counts > 0).sum(axis=1).astype(np.int64)
+    top = counts.max(axis=1).astype(np.int64)
+    ppm = np.zeros(n, dtype=np.int64)
+    nz = lens > 0
+    ppm[nz] = (top[nz] * 1_000_000) // lens[nz]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bytes": pa.array(lens, type=pa.int64()),
+            "distinct_bytes": pa.array(distinct, type=pa.int64()),
+            "top_byte_ppm": pa.array(ppm, type=pa.int64()),
+        }
+    )
+
+
+def q_byte_stats_docs(sf_dir: str):
+    """Byte-level quality signals — the cheap binary/garbage detector a
+    crawl pipeline runs before any tokenizer: per doc, byte count,
+    distinct byte values, and the top byte's frequency as an EXACT ppm
+    integer (the gopher top-token trick at byte granularity; a float
+    entropy would drift between numpy's pairwise and SQL's sequential
+    summation, so the signal is fixed-point by design). Zero shuffle;
+    one bincount per batch over the zero-copy Arrow buffer. The corpus
+    is ASCII so DuckDB's char-based substr equals bytes (documented)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(_byte_stats_kernel, batch_format="pyarrow")
+
+
+SQL_BYTE_STATS_DOCS = """
+WITH ch AS (
+  SELECT doc_id, substr(text, t.i, 1) AS c
+  FROM documents, unnest(generate_series(1, greatest(length(text), 0))) t(i)
+),
+cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS distinct_bytes,
+         max(n) AS top_n
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_bytes,
+       coalesce(a.distinct_bytes, 0) AS distinct_bytes,
+       CAST(coalesce((a.top_n * 1000000) // length(d.text), 0) AS BIGINT)
+         AS top_byte_ppm
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 WINDOW_DEDUP_US = 10 * 60 * 1_000_000   # 10 minutes
 
 
@@ -3933,6 +3992,7 @@ QUERIES = {
     "media_ahash_near_dup": q_media_ahash_near_dup,
     "source_stats": q_source_stats,
     "events_window_dedup": q_events_window_dedup,
+    "byte_stats_docs": q_byte_stats_docs,
 }
 
 ORACLES = {
@@ -4008,6 +4068,7 @@ ORACLES = {
     "media_ahash_near_dup": SQL_MEDIA_AHASH_NEAR_DUP,
     "source_stats": SQL_SOURCE_STATS,
     "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
+    "byte_stats_docs": SQL_BYTE_STATS_DOCS,
     # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
     # embedding_near_dup / media_decode: not SQL-expressible
     # (content-addressed ids, spans drift, LSH/IVF approximation,
