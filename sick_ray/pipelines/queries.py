@@ -2899,13 +2899,19 @@ def q_curated_corpus(sf_dir: str, chunk: int = 16):
     exact CTEs in SQL, so the composition is oracle-checked end-to-end
     (byte-exact reassembled text). Output: (doc_id, n_chunks, n_kept,
     text_kept) for gopher-surviving docs."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _curated_chain(docs, chunk)
+
+
+def _curated_chain(docs, chunk: int = 16):
+    """The shared Gopher → PII-augment/redact → chunk-dedup chain over a
+    (doc_id, text) Dataset — the back half of curated_corpus,
+    curated_packed and url_deduped_curated."""
     from sick_ray.functions.curate import (
         add_repetition_stats,
         chunk_dedup,
         redact_pii,
     )
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def gopher_filter(batch: pa.Table) -> pa.Table:
         stats = add_repetition_stats(batch)      # row-aligned with batch
@@ -3009,6 +3015,46 @@ SELECT r.doc_id, coalesce(a.n_chunks, 0) AS n_chunks,
        coalesce(a.text_kept, '') AS text_kept
 FROM red r LEFT JOIN agg a USING (doc_id)
 """
+
+
+def q_url_deduped_curated(sf_dir: str, chunk: int = 16):
+    """Composition #3 — the RefinedWeb ORDER of operations: URL-level
+    dedup FIRST (canonicalize, keep min doc_id per canonical url — drops
+    2/3 of this corpus's doc_ids), THEN the full curation chain (Gopher
+    → PII redact → chunk dedup) over the survivors only. The kept-id set
+    is narrow int64s broadcast in-cluster (assemble_blocks +
+    searchsorted — never a text shuffle); the curated back half is the
+    byte-oracled shared chain. Oracle = SQL_URL_DEDUP's CTEs feeding
+    SQL_CURATED_CORPUS's CTEs (string-composed so both queries provably
+    run the identical stages)."""
+    import ray
+
+    from sick_ray.shuffle import assemble_blocks
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = grouped_apply(
+        docs.select_columns(["doc_id"]).map_batches(
+            _add_synth_canon_urls, batch_format="pyarrow"),
+        ["canon_url"], _url_group_kernel,
+        num_partitions=QCFG.num_partitions, partial=_url_group_kernel,
+    ).materialize()
+
+    def finalize_ids(tbl: pa.Table) -> np.ndarray:
+        return np.unique(tbl.column("doc_id").to_numpy(zero_copy_only=False))
+
+    ids_ref = assemble_blocks(kept, ["doc_id"], finalize_ids,
+                              empty=np.empty(0, dtype=np.int64))
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        keep_ids = ray.get(ids_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(keep_ids) == 0:
+            return batch.slice(0, 0)
+        pos = np.minimum(np.searchsorted(keep_ids, ids), len(keep_ids) - 1)
+        return batch.filter(pa.array(keep_ids[pos] == ids))
+
+    survivors = docs.map_batches(keep_only, batch_format="pyarrow")
+    return _curated_chain(survivors, chunk)
 
 
 def q_curated_packed(sf_dir: str):
@@ -3469,6 +3515,21 @@ SELECT canon_url, min(doc_id) AS kept_doc_id,
        count(*) AS n_dups
 FROM canon GROUP BY canon_url
 """
+
+
+# Composition #3 oracle: url-dedup CTEs → kept ids → the curated chain
+# with its `documents` reads redirected to the deduped CTE. Composed
+# from the two oracles so all three queries provably share their SQL.
+_URL_CTES = SQL_URL_DEDUP_DOCS[: SQL_URL_DEDUP_DOCS.index("\nSELECT canon_url")]
+assert SQL_CURATED_CORPUS.count("FROM documents") == 3
+SQL_URL_DEDUPED_CURATED = (
+    _URL_CTES
+    + """,
+kept AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon_url),
+dd AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id))"""
+    + SQL_CURATED_CORPUS.replace("WITH t0 AS", ", t0 AS")
+                        .replace("FROM documents", "FROM dd")
+)
 
 
 SNAPSHOT_PREFIX_CHARS = 64
@@ -3993,6 +4054,7 @@ QUERIES = {
     "source_stats": q_source_stats,
     "events_window_dedup": q_events_window_dedup,
     "byte_stats_docs": q_byte_stats_docs,
+    "url_deduped_curated": q_url_deduped_curated,
 }
 
 ORACLES = {
@@ -4069,6 +4131,7 @@ ORACLES = {
     "source_stats": SQL_SOURCE_STATS,
     "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
     "byte_stats_docs": SQL_BYTE_STATS_DOCS,
+    "url_deduped_curated": SQL_URL_DEDUPED_CURATED,
     # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
     # embedding_near_dup / media_decode: not SQL-expressible
     # (content-addressed ids, spans drift, LSH/IVF approximation,
