@@ -36,6 +36,16 @@ class DedupConfig:
     # edges; the shortfall is surfaced as truncated_pairs/truncated_buckets
     # counters in the edges-stage manifest (never silent)
     max_pairs_per_bucket: int = 4096
+    # drop singleton band buckets map-side against a Bloom of ≥2-member
+    # buckets built from the count pre-pass (only those can emit a pair;
+    # Bloom false positives emit nothing → output bit-identical, tested).
+    # Measured at sf0.1-equivalent (200k docs): 69% of band rows dropped
+    # before the pair sort; single-box wall NEUTRAL (local shuffles are
+    # memcpy-bound and the count pre-pass still moves all rows), but
+    # total exchanged rows fall ~34% (prepass 16n + pairs 16n → prepass
+    # 16n + pairs ~5n) — the win is cross-NODE network exchange on a
+    # real cluster (stages/lsh.py::dup_bucket_index)
+    dup_bucket_prefilter: bool = True
     # --- candidate verification (stage 2b→2c) ---
     verify: str = "signature"   # "signature" | "none"
     verify_threshold: float = 0.72  # est. Jaccard (matching sig fraction)

@@ -31,6 +31,7 @@ import pyarrow as pa
 from sick_ray.stages.minhash import fsl_to_numpy
 
 from sick_ray.config import DedupConfig
+from sick_ray.functions.sketch import bloom_build, bloom_contains, bloom_params
 from sick_ray.shuffle import (
     U64,
     collect_counter_rows,
@@ -111,6 +112,74 @@ def hot_buckets(band_rows, cfg: DedupConfig) -> np.ndarray:
     if "bkt" not in hot.columns:              # empty result loses its schema
         return np.empty(0, dtype=np.int64)
     return np.sort(hot["bkt"].to_numpy().astype(np.int64))
+
+
+def dup_bucket_index(band_rows, cfg: DedupConfig):
+    """One count pre-pass shared by skew detection AND the singleton
+    prefilter: returns (hot_sorted, bloom_ref, bloom_k, n_dup_buckets).
+
+    ``bloom_ref`` is the in-cluster-assembled Bloom bitmap of every
+    bucket with ≥2 members — the only buckets that can emit a pair.
+    In a mostly-unique corpus the pair shuffle's input is dominated by
+    singleton buckets (one band row per doc per band that matches
+    nothing); dropping them map-side against the broadcast Bloom removes
+    that traffic before the expensive sort. Bloom false positives pass a
+    singleton through — it lands alone in its bucket and emits nothing,
+    so the output is bit-identical; false negatives are impossible.
+    ``bloom_ref`` is None when there are no dup buckets."""
+    from sick_ray.shuffle import assemble_blocks
+
+    dup_counts = grouped_apply(
+        band_rows,
+        ["bkt"],
+        make_count_reducer(1),                 # keep count >= 2
+        num_partitions=cfg.num_partitions,
+        partial=_partial_counts,
+    ).materialize()
+    n_dup = dup_counts.count()
+
+    hot_tbl = dup_counts.map_batches(
+        _hot_filter_fn(cfg.hot_bucket_threshold), batch_format="pyarrow"
+    ).to_pandas()
+    hot = (np.sort(hot_tbl["bkt"].to_numpy().astype(np.int64))
+           if "bkt" in hot_tbl.columns and len(hot_tbl)
+           else np.empty(0, dtype=np.int64))
+    if n_dup == 0:
+        return hot, None, 0, 0
+    m, k = bloom_params(n_dup)
+
+    def finalize_bloom(tbl: pa.Table):
+        return bloom_build(
+            tbl.column("bkt").combine_chunks().to_numpy(zero_copy_only=False),
+            m, k,
+        )
+
+    bloom_ref = assemble_blocks(dup_counts, ["bkt"], finalize_bloom,
+                                empty=None)
+    return hot, bloom_ref, k, n_dup
+
+
+def _hot_filter_fn(threshold: int):
+    def f(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(cnt > threshold))
+
+    return f
+
+
+def make_bloom_prefilter(bloom_ref, k: int):
+    """Map-side singleton-bucket dropper: keep band rows whose bkt is in
+    the dup-bucket Bloom (zero-copy plasma read per task)."""
+    def flt(batch: pa.Table) -> pa.Table:
+        import ray
+
+        bits = ray.get(bloom_ref)
+        if bits is None or batch.num_rows == 0:
+            return batch.slice(0, 0)
+        bkt = batch.column("bkt").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(bloom_contains(bits, bkt, k)))
+
+    return flt
 
 
 def make_salter(hot_sorted: np.ndarray, fanout: int):
@@ -249,7 +318,24 @@ def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None):
     (truncated_pairs / truncated_buckets / hot_buckets) — no silent caps:
     callers surface these into the stage manifest."""
     band_rows = sig_ds.map_batches(explode_bands, batch_format="pyarrow", batch_size=None).materialize()
-    hot = hot_buckets(band_rows, cfg)
+    if cfg.dup_bucket_prefilter:
+        # one count pre-pass feeds BOTH skew detection and the
+        # singleton-bucket Bloom prefilter: only ≥2-member buckets can
+        # emit a pair, so dropping singleton band rows map-side removes
+        # the bulk of the sort-shuffle input on mostly-unique corpora
+        # (output bit-identical — see dup_bucket_index)
+        hot, bloom_ref, bloom_k, n_dup = dup_bucket_index(band_rows, cfg)
+        if counters is not None:
+            counters["dup_buckets"] = int(n_dup)
+        if bloom_ref is not None:
+            band_rows = band_rows.map_batches(
+                make_bloom_prefilter(bloom_ref, bloom_k),
+                batch_format="pyarrow", batch_size=None,
+            )
+        else:
+            band_rows = band_rows.limit(0)
+    else:
+        hot = hot_buckets(band_rows, cfg)
     salted = band_rows.map_batches(make_salter(hot, cfg.salt_fanout), batch_format="pyarrow")
     raw = grouped_apply(
         salted, ["sbkt"], make_pair_emitter(cfg), num_partitions=cfg.num_partitions

@@ -170,3 +170,30 @@ def test_run_full_matches_run_dedup(result):
     assert (spans["end"] > spans["start"]).all()
     assert set(spans.columns) == {"url", "start", "end"}
     assert {"exact_sec", "near_sec", "spans_sec", "total_sec"} <= set(full.timings)
+
+
+def test_dup_bucket_prefilter_output_identical(ray_session, tmp_path):
+    """The singleton-bucket Bloom prefilter must be output-invariant:
+    clusters with the flag on == off (false positives emit nothing,
+    false negatives are impossible)."""
+    import os
+
+    import ray.data as rd
+
+    from sick_ray.config import DedupConfig
+    from sick_ray.pipelines.dedup import run_dedup
+    from sick_ray.synth import materialize_corpus
+
+    corpus = materialize_corpus(800, seed=21)
+    path = os.path.join(corpus, "webtext.parquet")
+    outs = []
+    for flag in (True, False):
+        cfg = DedupConfig(minhash_concurrency=2, num_partitions=8,
+                          dup_bucket_prefilter=flag)
+        res = run_dedup(rd.read_parquet(path), cfg)
+        df = res.clusters.to_pandas().sort_values(
+            ["cluster_id", "url"]).reset_index(drop=True)
+        outs.append(df)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(outs[0], outs[1])
