@@ -52,6 +52,13 @@ def main(argv=None) -> int:
              "merge the input snapshot into the index so the next crawl "
              "probes old+new",
     )
+    p.add_argument(
+        "--query", metavar="NAME", default=None,
+        help="run a single operator from the query surface over the "
+             "table directory given as `input` (any pipelines.queries "
+             "QUERIES key; result parquet → out_dir/NAME). Makes every "
+             "operator reachable via `ray job submit`.",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--partitions", type=int, default=64)
     args = p.parse_args(argv)
@@ -100,6 +107,36 @@ def main(argv=None) -> int:
 
     threading.Thread(target=_poll, daemon=True).start()
     t0 = time.time()
+    if args.query:
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sick_ray.pipelines.queries import QUERIES
+
+        if args.query not in QUERIES:
+            print(json.dumps({"error": f"unknown query {args.query!r}",
+                              "available": sorted(QUERIES)}))
+            return 2
+        res = QUERIES[args.query](args.input)
+        if isinstance(res, pd.DataFrame):
+            res = rd.from_pandas(res)
+        elif isinstance(res, pa.Table):
+            res = rd.from_arrow(res)
+        res = res.materialize()
+        out = os.path.join(args.out_dir, args.query)
+        os.makedirs(out, exist_ok=True)
+        import glob as _glob
+
+        for f in _glob.glob(os.path.join(out, "*.parquet")):
+            os.unlink(f)
+        res.write_parquet(out)
+        stop_poll.set()
+        print(json.dumps({"query": args.query, "n_rows": res.count(),
+                          "out": out,
+                          "wall_sec": round(time.time() - t0, 2)}))
+        ray.shutdown()
+        return 0
     if args.build_index or args.probe_index or args.extend_index:
         # incremental cross-snapshot workflow (stages/index.py): freeze a
         # corpus once, probe later crawls against it without re-reading
