@@ -51,7 +51,9 @@ def canonicalize_urls(col) -> pa.Array:
         col = col.combine_chunks()
     u = pc.replace_substring_regex(col, pattern=r"#.*$", replacement="")
     u = pc.replace_substring_regex(u, pattern=_TRACKING, replacement=r"\1")
-    u = pc.replace_substring_regex(u, pattern=r"[?&]$", replacement="")
+    # [?&]+ (a RUN, not one char): '?&utm_a=1' rewrites to '?&' and a
+    # single-char strip would leave a dangling '?' — breaking idempotence
+    u = pc.replace_substring_regex(u, pattern=r"[?&]+$", replacement="")
     u = pc.replace_substring_regex(u, pattern=r"/+\?", replacement="?")
     u = pc.replace_substring_regex(u, pattern=r"/+$", replacement="")
     parts = pc.extract_regex(u, pattern=_AUTH_RE)

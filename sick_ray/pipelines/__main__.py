@@ -124,13 +124,10 @@ def main(argv=None) -> int:
         elif isinstance(res, pa.Table):
             res = rd.from_arrow(res)
         res = res.materialize()
-        out = os.path.join(args.out_dir, args.query)
-        os.makedirs(out, exist_ok=True)
-        import glob as _glob
+        from sick_ray.sources.readers import replace_parquet
 
-        for f in _glob.glob(os.path.join(out, "*.parquet")):
-            os.unlink(f)
-        res.write_parquet(out)
+        out = os.path.join(args.out_dir, args.query)
+        replace_parquet(res, out)
         stop_poll.set()
         print(json.dumps({"query": args.query, "n_rows": res.count(),
                           "out": out,
@@ -147,9 +144,8 @@ def main(argv=None) -> int:
             build_dedup_index,
             extend_dedup_index,
             probe_dedup_index,
+            snapshot_sigs,
         )
-
-        from sick_ray.stages.index import snapshot_sigs
 
         docs = rd.read_parquet(args.input)
         if args.build_index:
@@ -165,15 +161,10 @@ def main(argv=None) -> int:
                 pairs = probe_dedup_index(docs, idx_dir, cfg,
                                           counters=counters,
                                           new_sigs=sigs).materialize()
-                out = os.path.join(args.out_dir, "near_dup_pairs")
-                os.makedirs(out, exist_ok=True)
-                # clear-then-write: write_parquet APPENDS uniquely-named
-                # files, so a retried probe must not double the pair set
-                import glob as _glob
+                from sick_ray.sources.readers import replace_parquet
 
-                for f in _glob.glob(os.path.join(out, "*.parquet")):
-                    os.unlink(f)
-                pairs.write_parquet(out)
+                replace_parquet(pairs,
+                                os.path.join(args.out_dir, "near_dup_pairs"))
                 summary = {"n_pairs": pairs.count(), **counters}
             if args.extend_index:
                 summary.update(
@@ -227,14 +218,12 @@ def main(argv=None) -> int:
         # must read as INCOMPLETE — a surviving old manifest over a
         # destroyed part set would satisfy skip-if-done checks with empty
         # data (the constant 'cli' input_fp encodes nothing to catch it)
-        import glob as _glob
-
         mpath = os.path.join(out, "_MANIFEST.json")
         if os.path.exists(mpath):
             os.unlink(mpath)
-        for f in _glob.glob(os.path.join(out, "*.parquet")):
-            os.unlink(f)
-        curated.write_parquet(out)
+        from sick_ray.sources.readers import replace_parquet
+
+        replace_parquet(curated, out)
         from ray.data.aggregate import Sum
 
         from sick_ray.state.manifest import commit_manifest

@@ -3498,7 +3498,7 @@ c AS (
       regexp_replace(u,
         '#.*$', '', 'g'),
         '([?&])((utm_[a-z0-9]+|ref|fbclid|gclid)=[^&#]*(&|$))+', '\1', 'g'),
-        '[?&]$', '', 'g'),
+        '[?&]+$', '', 'g'),
         '/+\?', '?', 'g'),
         '/+$', '', 'g') AS u6
   FROM raw
@@ -3703,23 +3703,26 @@ def q_snapshot_near_dup_docs(sf_dir: str):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(ids % 2 == 1))
 
-    # deterministic per-sf dir, not mkdtemp: repeated bench/driver runs
-    # must not accumulate index copies in /tmp (build_dedup_index itself
-    # clears-then-commits, so re-running is a clean replace)
-    idx_dir = os.path.join(
-        "/tmp", "sick_ray_snapidx",
-        os.path.basename(os.path.normpath(sf_dir)) or "default",
-    )
-    os.makedirs(idx_dir, exist_ok=True)
-    build_dedup_index(
-        docs.map_batches(even, batch_format="pyarrow"), idx_dir, QCFG)
-    pairs = probe_dedup_index(
-        docs.map_batches(odd, batch_format="pyarrow"), idx_dir, QCFG)
+    # mkdtemp for isolation (two concurrent drivers on one sf_dir must
+    # not race build against probe), removed after the probe result is
+    # MATERIALIZED (a lazy return would read a deleted index) — so
+    # repeated bench/driver runs leak nothing
+    import shutil
+    import tempfile
 
-    def finish(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["old_fp64", "new_fp64"])
+    idx_dir = tempfile.mkdtemp(prefix="sick_ray_snapidx_")
+    try:
+        build_dedup_index(
+            docs.map_batches(even, batch_format="pyarrow"), idx_dir, QCFG)
+        pairs = probe_dedup_index(
+            docs.map_batches(odd, batch_format="pyarrow"), idx_dir, QCFG)
 
-    return pairs.map_batches(finish, batch_format="pyarrow")
+        def finish(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["old_fp64", "new_fp64"])
+
+        return pairs.map_batches(finish, batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
 
 
 MEDIA_PHASH_GOLDEN = "/root/repo/tests/golden/media_phash_golden.parquet"

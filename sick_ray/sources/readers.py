@@ -97,3 +97,19 @@ def write_stage(ds, out_dir: str, stage: str, input_fp: str = "adhoc",
         kwargs["compression"] = compression
     ds.write_parquet(stage_dir, **kwargs)
     return commit_manifest(stage_dir, stage, input_fp)
+
+
+def replace_parquet(ds, out_dir: str) -> None:
+    """Clear-then-write: remove stale ``*.parquet`` parts, then write.
+
+    ``Dataset.write_parquet`` APPENDS uniquely-named files, so a retried
+    run would otherwise double the output — the retry-must-not-append
+    convention used by the CLI output dirs (--curate, --probe-index,
+    --query) lives here once."""
+    import glob
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for f in glob.glob(os.path.join(out_dir, "*.parquet")):
+        os.unlink(f)
+    ds.write_parquet(out_dir)

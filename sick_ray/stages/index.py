@@ -358,7 +358,14 @@ def extend_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
         ).write_parquet(os.path.join(index_dir, "buckets"))
         fresh.select_columns(["fp64", "sig"]).write_parquet(
             os.path.join(index_dir, "signatures"))
-    manifest["n_docs_indexed"] += n_added
+    # RECOUNT from the signatures table rather than incrementing: a crash
+    # after the signatures append but before the manifest replace would
+    # make a retry add 0 rows and an increment would then undercount
+    # forever; the table itself is the source of truth (rows are distinct
+    # by the fp64 invariant, so row count == doc count)
+    manifest["n_docs_indexed"] = rd.read_parquet(
+        os.path.join(index_dir, "signatures"), columns=["fp64"]
+    ).count()
     tmp = os.path.join(index_dir, "_INDEX.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)

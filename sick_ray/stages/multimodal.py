@@ -383,6 +383,17 @@ def decode_media(media_ds, concurrency: int = 4, batch_size: int = 64):
 
 # ------------------------------------------------ perceptual-hash near-dup
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Constant-pass SWAR popcount over uint64 (numpy 1.26 has no
+    bitwise_count; a shift-and-mask loop makes up to 64 passes)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64)
+
+
 def dhash56(thumbs: np.ndarray) -> np.ndarray:
     """(n, 64) uint8 8×8 thumbnails → 56-bit dHash packed in int64.
 
@@ -499,11 +510,7 @@ def _phash_pair_partition(part: pa.Table) -> pa.Table:
     i_idx, j_idx, tp, tb = segment_pairs(bk, cap=4096)
     u, v = di[i_idx], di[j_idx]
     x = (hh[i_idx].view(np.uint64)) ^ (hh[j_idx].view(np.uint64))
-    dist = np.zeros(len(x), dtype=np.int64)
-    xx = x.copy()
-    while xx.any():
-        dist += (xx & np.uint64(1)).astype(np.int64)
-        xx >>= np.uint64(1)
+    dist = popcount64(x)
     ok = (dist <= PHASH_HAMMING) & (u != v)
     out_u = [u[ok]]
     out_v = [v[ok]]

@@ -650,7 +650,17 @@ def test_canonicalize_urls_idempotent():
         "https://h/x?ref=1&b=2&ref=3",
         "https://h/x?a=1&ref=2&utm_c=3",
         "noscheme?utm_q=1",
+        # separator RUNS before a tracking param: the rewrite leaves
+        # '?&'/'??' which must strip fully in one pass (caught a real
+        # regression: [?&]$ stripped one char and left a dangling '?')
+        "https://h/x?&utm_a=1",
+        "https://h/x??utm_a=1",
     ])
+    # same-page variants must collapse identically
+    assert (canonicalize_urls(pa.array(["https://h/x?&utm_a=1"]))
+            .to_pylist()
+            == canonicalize_urls(pa.array(["https://h/x?utm_a=1"]))
+            .to_pylist())
     c1 = canonicalize_urls(weird)
     assert canonicalize_urls(c1).equals(c1)
     synth = canonicalize_urls(synth_urls(np.arange(9000, dtype=np.int64)))
