@@ -74,3 +74,19 @@ def test_write_stage_zstd(ray_session, tmp_path):
     f = [n for n in os.listdir(tmp_path / "z") if n.endswith(".parquet")][0]
     md = pq.ParquetFile(str(tmp_path / "z" / f)).metadata
     assert md.row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_replace_parquet_no_append(ray_session, tmp_path):
+    """Retried writes must REPLACE, not append (write_parquet appends
+    uniquely-named files) — the convention behind every CLI output dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sick_ray.sources.readers import replace_parquet
+
+    out = str(tmp_path / "out")
+    ds = rd.from_arrow(pa.table({"x": list(range(100))}))
+    replace_parquet(ds, out)
+    replace_parquet(ds, out)
+    assert pq.read_table(out).num_rows == 100
