@@ -661,6 +661,36 @@ def q_doc_spans(sf_dir: str):
     return duplicate_spans(_docs_as_webtext(sf_dir), QCFG)
 
 
+SPANS_GOLDEN = {
+    "sf0.01": "/root/repo/tests/golden/spans_anchored_sf001.parquet",
+    "sf0.1": "/root/repo/tests/golden/spans_anchored_sf01.parquet",
+}
+
+
+def q_doc_spans_anchored(sf_dir: str):
+    """Substring-dedup spans, DETERMINISTIC variant: the content-anchored
+    global pass only (duplicate_spans(include_local=False)) — exactly the
+    spans whose 128-byte windows at content-defined anchors repeat across
+    (or ≥128 apart within) docs. Unlike doc_spans (whose best-effort
+    local pass drifts ~0.1% with Ray task bundling), this output is
+    bit-reproducible, so it is oracled GOLDEN-style against an
+    INDEPENDENT scalar implementation (scripts/make_spans_golden.py:
+    textbook per-doc Horner rolling hash with python ints vs the
+    engine's vectorized modular prefix sums over one concatenated
+    buffer). Spans are corpus-dependent, so one golden per scale; the
+    oracle reads the sf0.01 file (the driver's correctness scale) and
+    the sf0.1 twin is asserted in tests/test_suffix.py."""
+    from sick_ray.stages.suffix import duplicate_spans
+
+    return duplicate_spans(_docs_as_webtext(sf_dir), QCFG,
+                           include_local=False)
+
+
+SQL_DOC_SPANS_ANCHORED = f"""
+SELECT url, start, "end" FROM read_parquet('{SPANS_GOLDEN["sf0.01"]}')
+"""
+
+
 def q_simhash_docs(sf_dir: str):
     """SimHash signatures per doc — oracled against a GOLDEN table computed
     by an independent scalar second implementation (scripts/make_golden.py;
@@ -4058,6 +4088,7 @@ QUERIES = {
     "events_window_dedup": q_events_window_dedup,
     "byte_stats_docs": q_byte_stats_docs,
     "url_deduped_curated": q_url_deduped_curated,
+    "doc_spans_anchored": q_doc_spans_anchored,
 }
 
 ORACLES = {
@@ -4135,6 +4166,7 @@ ORACLES = {
     "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
     "byte_stats_docs": SQL_BYTE_STATS_DOCS,
     "url_deduped_curated": SQL_URL_DEDUPED_CURATED,
+    "doc_spans_anchored": SQL_DOC_SPANS_ANCHORED,
     # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
     # embedding_near_dup / media_decode: not SQL-expressible
     # (content-addressed ids, spans drift, LSH/IVF approximation,

@@ -360,7 +360,8 @@ def _finalize_url_lookup(tbl):
 
 def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
                     n_docs_hint: int | None = None,
-                    url_list: list[str] | None = None):
+                    url_list: list[str] | None = None,
+                    include_local: bool = True):
     """Dataset (url, text, ...) → Dataset (url, start, end) of duplicated
     spans ≥ cfg.min_span bytes. Partition-local suffix arrays + the global
     anchored groupby, merged per doc; spans travel as narrow (uhash,
@@ -383,7 +384,11 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
     between runs — so the total span count can drift ~0.1% run-to-run.
     Making it exact would require a deterministic full-text co-location
     shuffle, which this stage exists to avoid; the drift only affects
-    which *local-only* (sub-anchor-stride) duplicates are caught."""
+    which *local-only* (sub-anchor-stride) duplicates are caught.
+    ``include_local=False`` skips the local pass entirely: the output is
+    then exactly the anchored-span set — fully deterministic and
+    conformance-checkable against an independent scalar implementation
+    (scripts/make_spans_golden.py; the doc_spans_anchored oracle)."""
     import ray
 
     cfg = cfg or DedupConfig()
@@ -399,15 +404,18 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
         # row group and joins emit num_partitions blocks, so trust upstream
         # rather than paying a full-text repartition shuffle
         enough = True
-    sa_docs = docs if enough else docs.repartition(min_blocks)
-    # materialize the (small) SA output before the union: the SA pass is
-    # memory-bandwidth-bound and measurably degrades every concurrent
-    # shuffle stage on a shared memory controller — run it to completion
-    # first, then let the anchor chain stream alone (sf0.1: 204 s
-    # interleaved → ~70 s staged)
-    local = sa_docs.map_batches(
-        make_sa_span_finder(cfg), batch_format="pyarrow", batch_size=SA_BATCH_DOCS
-    ).materialize()
+    local = None
+    if include_local:
+        sa_docs = docs if enough else docs.repartition(min_blocks)
+        # materialize the (small) SA output before the union: the SA pass
+        # is memory-bandwidth-bound and measurably degrades every
+        # concurrent shuffle stage on a shared memory controller — run it
+        # to completion first, then let the anchor chain stream alone
+        # (sf0.1: 204 s interleaved → ~70 s staged)
+        local = sa_docs.map_batches(
+            make_sa_span_finder(cfg), batch_format="pyarrow",
+            batch_size=SA_BATCH_DOCS
+        ).materialize()
     anchors = docs.map_batches(make_anchor_emitter(cfg), batch_format="pyarrow", batch_size=None)
     # STAGED, not fused: a single streaming execution containing BOTH the
     # whash sort and the downstream uhash merge sort scales badly — the
@@ -436,7 +444,8 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
         )
 
     global_spans = seeds.map_batches(seed_to_span, batch_format="pyarrow")
-    all_spans = local.union(global_spans)
+    all_spans = (local.union(global_spans) if local is not None
+                 else global_spans)
     # map-side partial merge: overlapping seed windows of one doc collapse
     # inside each batch BEFORE the shuffle (idempotent — same fn reduces the
     # partition), cutting the shuffled row count by ~an order of magnitude

@@ -85,3 +85,30 @@ def test_exact_dup_texts_marked_as_spans(spans_result):
         if cov >= 0.5 * n:
             covered += 1
     assert covered / max(1, len(big)) >= 0.9
+
+
+def test_anchored_spans_match_scalar_golden_sf01(ray_session):
+    """The deterministic anchored pass vs the independent scalar golden
+    at sf0.1 (the oracle covers sf0.01; this is the at-scale twin), plus
+    partition invariance of the same output."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from sick_ray.config import DedupConfig
+    from sick_ray.pipelines.queries import _docs_as_webtext
+    from sick_ray.stages.suffix import duplicate_spans
+
+    golden = pq.read_table(
+        "/root/repo/tests/golden/spans_anchored_sf01.parquet"
+    ).to_pandas().sort_values(["url", "start"]).reset_index(drop=True)
+
+    outs = []
+    for parts in (16, 5):
+        cfg = DedupConfig(num_partitions=parts, minhash_concurrency=2)
+        got = duplicate_spans(
+            _docs_as_webtext("/root/testdata/sf0.1"), cfg,
+            include_local=False,
+        ).to_pandas().sort_values(["url", "start"]).reset_index(drop=True)
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], golden, check_dtype=False)
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
