@@ -139,7 +139,7 @@ def run_bench() -> dict:
         "stratified_sample_docs", "url_dedup_docs", "snapshot_dedup_docs",
         "shard_docs", "snapshot_near_dup_docs", "media_phash_near_dup",
         "media_ahash_near_dup", "events_window_dedup", "byte_stats_docs",
-        "source_stats", "url_deduped_curated",
+        "source_stats", "url_deduped_curated", "doc_spans_anchored",
     ):
         t = time.time()
         out = QUERIES[name](SF_DIR)
