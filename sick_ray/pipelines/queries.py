@@ -971,10 +971,14 @@ def q_knn_lsh_embeddings(sf_dir: str):
 
 def q_knn_ivf_embeddings(sf_dir: str):
     """IVF-partitioned ANN (coarse quantizer + inverted-list probe — the
-    corpus-pruning scale path). GENUINELY approximate even at driver
-    scale (nprobe=6/16 misses tail-rank true neighbors — measured 6/10
-    agreement with brute at sf0.01), so rows-only by design with a loud
-    under-k guard; recall is gated in tests at clustered configs."""
+    corpus-pruning scale path). The conformance surface runs EXHAUSTIVE
+    probe (nprobe == n_centroids): every inverted list is scanned, so the
+    result must equal brute force exactly — the reference's
+    indexed-access == enumerated-access discipline
+    (``EBAReaderWriterTest.scala:247-288``) applied to the IVF plumbing
+    (train → assign → list-masked scan → merge). The pruned regime
+    (nprobe < n_centroids) is recall-gated in pytest on a clustered
+    corpus (test_knn_ivf_recall) where approximation is meaningful."""
     import pyarrow.parquet as pq
 
     from sick_ray.stages.ann import knn_ivf
@@ -986,7 +990,7 @@ def q_knn_ivf_embeddings(sf_dir: str):
         .to_pylist()[0]
     )
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = knn_ivf(ds, np.asarray([emb0]), k=10, n_centroids=16, nprobe=6)
+    out = knn_ivf(ds, np.asarray([emb0]), k=10, n_centroids=16, nprobe=16)
     if out.num_rows < 10:
         raise RuntimeError(
             f"knn_ivf returned {out.num_rows} rows < k=10 — probed lists "
@@ -1048,18 +1052,6 @@ FROM (
 WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
 GROUP BY event_type, window_start
 """
-
-
-def q_media_decode(sf_dir: str):
-    """Multimodal plumbing: deterministic fake media → actor-pool decode."""
-    import ray.data as rd
-
-    from sick_ray.stages.multimodal import decode_images, synth_media
-
-    media = rd.from_arrow(synth_media(200, seed=7))
-    return decode_images(media, concurrency=2).select_columns(
-        ["media_id", "pix_mean", "pix_std"]
-    )
 
 
 def q_media_decode_real(sf_dir: str):
@@ -3934,8 +3926,8 @@ SQL_SOURCE_STATS = """
 SELECT source,
        count(*) AS n_docs,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-       sum(n_chars) AS total_chars,
-       sum(len(regexp_extract_all(text, '[0-9A-Za-z]+'))) AS total_tokens
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(regexp_extract_all(text, '[0-9A-Za-z]+'))) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY source
 """
@@ -4033,7 +4025,6 @@ QUERIES = {
     "knn_lsh_embeddings": q_knn_lsh_embeddings,
     "knn_ivf_embeddings": q_knn_ivf_embeddings,
     "events_sliding_window": q_events_sliding_window,
-    "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
     "lineitem_stats": q_lineitem_stats,
     "orders_by_priority": q_orders_by_priority,
@@ -4112,6 +4103,7 @@ ORACLES = {
     # planes + 1-bit multiprobe), so it shares the brute-force oracle —
     # the driver-enforced recall check VERDICT r2 asked for
     "knn_lsh_embeddings": SQL_KNN_EMBEDDINGS,
+    "knn_ivf_embeddings": SQL_KNN_EMBEDDINGS,
     "lineitem_stats": SQL_LINEITEM_STATS,
     "orders_by_priority": SQL_ORDERS_BY_PRIORITY,
     "embedding_first_last": SQL_EMBEDDING_FIRST_LAST,
@@ -4167,10 +4159,8 @@ ORACLES = {
     "byte_stats_docs": SQL_BYTE_STATS_DOCS,
     "url_deduped_curated": SQL_URL_DEDUPED_CURATED,
     "doc_spans_anchored": SQL_DOC_SPANS_ANCHORED,
-    # dedup_clusters_docs / doc_spans / knn_ivf_embeddings /
-    # embedding_near_dup / media_decode: not SQL-expressible
-    # (content-addressed ids, spans drift, LSH/IVF approximation,
-    # fake-decode plumbing) → rows-only checks; each is gated by a
-    # pytest oracle (recall vs brute, golden tables, or a second
+    # dedup_clusters_docs / doc_spans: not SQL-expressible
+    # (content-addressed ids, spans drift) → rows-only checks; each is
+    # gated by a pytest oracle (golden tables or a second
     # implementation).
 }
