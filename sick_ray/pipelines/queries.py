@@ -1312,10 +1312,19 @@ def q_ngram_exact_pairs(sf_dir: str):
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-dup edges (distinct u<v pairs) over the
     embeddings table — LSH-bucketed candidates + exact cosine verify.
-    Rows-only by design: the synth embeddings have no high-cosine planted
-    dups (max pair ≈ 0.51), so any SQL-exact oracle would require recall
-    1.0 at a weak threshold, which bucketed LSH deliberately trades away;
-    recall vs the exact twin is gated in tests instead."""
+
+    FULLY oracled (round 4): the hyperplanes are deterministic config
+    (seeded rng; dumped once by scripts/make_lsh_planes.py), so DuckDB
+    recomputes the ENTIRE semantics — per-(vec, table) sign patterns via
+    an unnest × planes join, candidate pairs = any shared (table,
+    pattern) bucket, then exact float64 cosine ≥ threshold — at any sf.
+    Sign bits agree because sign(dot(normalized v, p)) == sign(dot(raw
+    v, p)) and both sides sum in double (disagreement needs |dot| ≲
+    1e-15); the cosine agrees because the verify stage normalizes RAW
+    float32 rows in float64 (see finalize_emb_lookup). Validity domain:
+    the per-bucket pair cap (65536) must not truncate — counters are
+    zero at every testdata scale; a truncating config diverges from the
+    oracle by construction and says so in the manifest."""
     from sick_ray.config import AnnConfig
     from sick_ray.stages.ann import embedding_near_dup_edges
 
@@ -1323,6 +1332,36 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup_edges(
         ds, threshold=0.3, cfg=AnnConfig(n_planes=4, n_tables=16), num_partitions=8
     )
+
+
+LSH_PLANES_GOLDEN = "/root/repo/tests/golden/lsh_planes_t16_p4_d64.parquet"
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+ue AS (
+  SELECT vec_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS i FROM e
+),
+p AS (SELECT * FROM read_parquet('{LSH_PLANES_GOLDEN}')),
+dots AS (
+  SELECT ue.vec_id, p.t, p.j, sum(ue.val * p.w) AS dot
+  FROM ue JOIN p USING (i) GROUP BY ue.vec_id, p.t, p.j
+),
+pat AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS pattern
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+  FROM pat a JOIN pat b ON a.t = b.t AND a.pattern = b.pattern
+                        AND a.vec_id < b.vec_id
+)
+SELECT c.u, c.v, round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+FROM cand c JOIN e ea ON ea.vec_id = c.u JOIN e eb ON eb.vec_id = c.v
+WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.3
+"""
 
 
 def q_cosine_pairs_exact(sf_dir: str):
@@ -4108,6 +4147,7 @@ ORACLES = {
     "orders_by_priority": SQL_ORDERS_BY_PRIORITY,
     "embedding_first_last": SQL_EMBEDDING_FIRST_LAST,
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ngram_allpairs_jaccard": SQL_NGRAM_ALLPAIRS_JACCARD,
     "ngram_exact_pairs": SQL_NGRAM_EXACT_PAIRS,
     "ngram_allpairs_capped": SQL_NGRAM_ALLPAIRS_CAPPED,

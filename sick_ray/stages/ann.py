@@ -126,12 +126,15 @@ _EMPTY_EMB_LOOKUP = (np.empty(0, dtype=np.int64),
 
 def finalize_emb_lookup(id_col: str, emb_col: str, tbl):
     """assemble_blocks finalize: concatenated embedding table → (sorted
-    ids, normalized float32 matrix) — the in-cluster plasma lookup (same
-    pattern as lsh.build_sig_lookup)."""
+    ids, RAW float32 matrix) — the in-cluster plasma lookup (same
+    pattern as lsh.build_sig_lookup). Raw (un-normalized) on purpose:
+    the stored float32 values are EXACT copies of the parquet data, so a
+    consumer normalizing in float64 computes the same cosine a DuckDB
+    ``list_cosine_similarity`` over ``CAST(... AS DOUBLE[])`` does to
+    ~1e-15 — pre-normalizing in float32 here cost ~1e-7 per component
+    and made 6-decimal oracle parity a coin flip per pair."""
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    m = _normalize(_emb_matrix(tbl.column(emb_col).combine_chunks())).astype(
-        np.float32
-    )
+    m = _emb_matrix(tbl.column(emb_col).combine_chunks()).astype(np.float32)
     order = np.argsort(ids, kind="stable")
     return ids[order], np.ascontiguousarray(m[order])
 
@@ -269,9 +272,9 @@ def embedding_near_dup_edges(emb_ds, threshold: float = 0.95,
         iu = np.minimum(np.searchsorted(ids_s, u), hi)
         iv = np.minimum(np.searchsorted(ids_s, v), hi)
         found = (ids_s[iu] == u) & (ids_s[iv] == v)
-        cos = np.einsum(
-            "ij,ij->i", m[iu].astype(np.float64), m[iv].astype(np.float64)
-        )
+        # lookup rows are raw float32; normalize HERE in float64 so the
+        # cosine matches a double-precision recompute (oracle parity)
+        cos = np.einsum("ij,ij->i", _normalize(m[iu]), _normalize(m[iv]))
         keep = found & (cos >= threshold)
         return pa.table(
             {
