@@ -3746,10 +3746,18 @@ def q_snapshot_near_dup_docs(sf_dir: str):
     buckets on disk), odd doc_ids probe it — the monthly-crawl companion
     of snapshot_dedup_docs at near-dup granularity. Returns verified
     (old_fp64, new_fp64) pairs at est Jaccard ≥ cfg.verify_threshold.
-    MinHash estimation is not SQL-expressible → rows-only here; the
-    operator's oracle lives in tests/test_index.py (exact O(|A|×|B|)
-    cross-half Jaccard: recall 1.0 at J≥0.9, precision floor, partition
-    invariance, config-identity mismatch)."""
+
+    FULLY oracled (round 4): per-doc signatures/band hashes/fp64 are
+    deterministic, recomputed by an INDEPENDENT scalar implementation
+    into a golden table (scripts/make_snapidx_golden.py, keyed by
+    (doc_id, md5(text)) so one file serves every sf), and DuckDB replays
+    the probe semantics over it — distinct-by-fp64 per side, candidate
+    = any shared (band_idx, band_hash) bucket old×new, then signature
+    estimate matches/128 ≥ threshold (identical float compare). The
+    semantic-quality oracle (exact O(|A|×|B|) cross-half Jaccard: recall
+    1.0 at J≥0.9, precision floor, partition invariance, config guards)
+    lives in tests/test_index.py. Validity domain: the per-bucket pair
+    cap must not truncate (counters zero at every testdata scale)."""
     import os
 
     from sick_ray.stages.index import build_dedup_index, probe_dedup_index
@@ -3784,6 +3792,35 @@ def q_snapshot_near_dup_docs(sf_dir: str):
         return pairs.map_batches(finish, batch_format="pyarrow").materialize()
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+MINHASH_GOLDEN = "/root/repo/tests/golden/minhash_golden.parquet"
+
+SQL_SNAPSHOT_NEAR_DUP_DOCS = f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS m, CAST(doc_id % 2 AS INT) AS side FROM documents
+),
+g AS (SELECT * FROM read_parquet('{MINHASH_GOLDEN}')),
+du AS (
+  SELECT DISTINCT d.side, g.fp64, g.sig, g.bands
+  FROM d JOIN g ON g.doc_id = d.doc_id AND g.text_md5 = d.m
+),
+bb AS (
+  SELECT side, fp64, unnest(bands) AS bh, generate_subscripts(bands, 1) AS bi
+  FROM du
+),
+cand AS (
+  SELECT DISTINCT o.fp64 AS old_fp64, n.fp64 AS new_fp64
+  FROM bb o JOIN bb n ON o.bi = n.bi AND o.bh = n.bh
+  WHERE o.side = 0 AND n.side = 1
+)
+SELECT c.old_fp64, c.new_fp64
+FROM cand c
+JOIN (SELECT DISTINCT fp64, sig FROM du WHERE side = 0) a ON a.fp64 = c.old_fp64
+JOIN (SELECT DISTINCT fp64, sig FROM du WHERE side = 1) b ON b.fp64 = c.new_fp64
+WHERE len(list_filter(list_zip(a.sig, b.sig), p -> p[1] = p[2]))
+      / 128.0 >= 0.72
+"""
 
 
 MEDIA_PHASH_GOLDEN = "/root/repo/tests/golden/media_phash_golden.parquet"
@@ -4148,6 +4185,7 @@ ORACLES = {
     "embedding_first_last": SQL_EMBEDDING_FIRST_LAST,
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "snapshot_near_dup_docs": SQL_SNAPSHOT_NEAR_DUP_DOCS,
     "ngram_allpairs_jaccard": SQL_NGRAM_ALLPAIRS_JACCARD,
     "ngram_exact_pairs": SQL_NGRAM_EXACT_PAIRS,
     "ngram_allpairs_capped": SQL_NGRAM_ALLPAIRS_CAPPED,
