@@ -234,6 +234,86 @@ def semi_select(input_ds, keys_ds, on: str, num_partitions: int,
     return input_ds.map_batches(flt, batch_format="pyarrow")
 
 
+def finalize_dim_lookup(key_col: str, val_col: str, tbl: pa.Table):
+    """assemble_blocks finalize for :func:`attach_dim`: (sorted int64 keys,
+    matching value array) — binary-searchable in every probe task."""
+    keys = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    vals = tbl.column(val_col).combine_chunks().take(pa.array(order))
+    return keys[order], vals
+
+
+def attach_dim(input_ds, dim_ds, on: str, key_col: str, val_col: str,
+               num_partitions: int, out_col: str | None = None,
+               n_dim_hint: int | None = None):
+    """Attach one dimension attribute to a fact Dataset by integer key —
+    INNER-join semantics (fact rows with no dimension match are dropped).
+
+    Below ``BROADCAST_KEYS_LIMIT`` dimension rows the lookup is assembled
+    IN the cluster from the dimension dataset's own block refs (plasma
+    broadcast — the driver never touches a row) and probed per batch with
+    a vectorized searchsorted; above it the attach falls back to a
+    distributed ``Dataset.join`` so no O(dimension) structure ever lands
+    in a single object. The same size switch as :func:`semi_select` /
+    suffix.py's url map — dimension tables scale too (TPC-H scales
+    customer with SF; a pickled driver dict and a per-row ``Series.map``
+    probe do not)."""
+    import functools
+
+    import ray
+
+    out_col = out_col or val_col
+    dim_ds = dim_ds.materialize()
+    n_dim = dim_ds.count() if n_dim_hint is None else n_dim_hint
+
+    if n_dim > BROADCAST_KEYS_LIMIT:
+        joined = input_ds.join(
+            dim_ds.select_columns([key_col, val_col]),
+            join_type="inner",
+            num_partitions=join_partitions(num_partitions),
+            on=(on,),
+            right_on=(key_col,),
+        )
+
+        def conform(batch: pa.Table) -> pa.Table:
+            if val_col != out_col:
+                batch = batch.rename_columns(
+                    [out_col if c == val_col else c for c in batch.column_names]
+                )
+            drop = [c for c in (key_col,) if c in batch.column_names and c != on]
+            return batch.drop_columns(drop) if drop else batch
+
+        return joined.map_batches(conform, batch_format="pyarrow")
+
+    ref = assemble_blocks(
+        dim_ds, [key_col, val_col],
+        functools.partial(finalize_dim_lookup, key_col, val_col),
+        empty=None,
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        if lk is None:
+            # an EMPTY dimension side makes every inner-attach vacuous —
+            # that's an upstream bug (wrong column, wrong filter), not a
+            # result; fail loudly rather than silently emit zero rows
+            raise ValueError(
+                f"attach_dim: dimension side has no rows with columns "
+                f"({key_col}, {val_col})"
+            )
+        keys, vals = lk
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, vals.slice(0, 0))
+        k = batch.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = len(keys) - 1
+        pos = np.minimum(np.searchsorted(keys, k), hi)
+        found = keys[pos] == k
+        kept = batch.filter(pa.array(found))
+        return kept.append_column(out_col, vals.take(pa.array(pos[found])))
+
+    return input_ds.map_batches(attach, batch_format="pyarrow")
+
+
 def segment_pairs(sorted_keys: np.ndarray, cap: int):
     """Within-group index pairs over a key-sorted array, vectorized across
     ALL groups at once.

@@ -103,3 +103,43 @@ def test_semi_select_paths_agree(ray_session, monkeypatch):
     }))
     got_s = sh.semi_select(inp_s, keys_s, "url", 4).to_pandas()
     assert set(got_s["url"]) == {f"doc://{i}" for i in range(0, 3000, 5)}
+
+
+def test_attach_dim_paths_agree(ray_session, monkeypatch):
+    """attach_dim broadcast (plasma lookup + searchsorted) and join paths
+    must produce the identical attached table, including inner-join drops
+    of unmatched fact rows; key name conflicts (key_col != on) must not
+    leak the dimension key column."""
+    import pandas as pd
+    import ray.data as rd
+
+    import sick_ray.shuffle as sh
+
+    rng = np.random.default_rng(4)
+    fact = pa.table({
+        "k": pa.array(rng.integers(0, 120, size=2000), type=pa.int64()),
+        "x": pa.array(np.arange(2000), type=pa.int64()),
+    })
+    dim = pa.table({
+        "dk": pa.array(np.arange(0, 100), type=pa.int64()),       # 100..119 unmatched
+        "name": pa.array([f"n{i % 7}" for i in range(100)]),
+    })
+    fact_ds, dim_ds = rd.from_arrow(fact), rd.from_arrow(dim)
+
+    def run():
+        out = sh.attach_dim(fact_ds, dim_ds, on="k", key_col="dk",
+                            val_col="name", num_partitions=4).to_pandas()
+        assert "dk" not in out.columns
+        return out.sort_values(["x"]).reset_index(drop=True)[["k", "x", "name"]]
+
+    got_bcast = run()
+    # inner semantics: every surviving key has a dimension row
+    assert (got_bcast["k"] < 100).all()
+    want = {int(r.dk): r.name for r in
+            dim.to_pandas().itertuples()}
+    assert all(want[int(k)] == n for k, n in
+               zip(got_bcast["k"], got_bcast["name"]))
+
+    monkeypatch.setattr(sh, "BROADCAST_KEYS_LIMIT", 10)   # force join path
+    got_join = run()
+    pd.testing.assert_frame_equal(got_bcast, got_join)
