@@ -440,12 +440,21 @@ def run_full(
     )
 
 
-def write_deduped_corpus(input_ds, clusters_ds, out_dir: str):
+def write_deduped_corpus(input_ds, clusters_ds, out_dir: str,
+                         urls: list[str] | None = None):
     """Emit the deduplicated corpus: the cluster-canonical row per cluster,
     with ``text`` passed through byte-identically — the engine's analogue
     of the reference's ``reconstruct`` (refs → JSON round-trip,
     json-sick-scala ``sickcirce/CirceTraverser.scala:16-58``): derived
     state maps back to the original payload without re-encoding.
+
+    ``urls``: optional url subset — the LAZY inverse, the analogue of the
+    reference's ``resolveFull`` resolving one requested subtree instead
+    of the whole document (``CirceTraverser.scala:190-231``). When set,
+    the url predicate is pushed INTO the parquet read (row-group pruning
+    via a pyarrow dataset filter — non-matching row groups never leave
+    storage) and into the cluster side before the join, so reconstructing
+    k urls costs O(matching row groups), not a full corpus pass.
 
     ``input_ds``: the original webtext Dataset/path; ``clusters_ds``: the
     pipeline's clusters output. Canonical rows are selected by a
@@ -458,14 +467,41 @@ def write_deduped_corpus(input_ds, clusters_ds, out_dir: str):
     import pyarrow.compute as pc
     import ray.data as rd
 
+    url_set = pa.array(sorted(set(urls)), type=pa.string()) if urls is not None else None
     if isinstance(input_ds, str):
-        input_ds = rd.read_parquet(input_ds)
+        if url_set is not None:
+            input_ds = rd.read_parquet(
+                input_ds, filter=pc.field("url").isin(url_set))
+        else:
+            input_ds = rd.read_parquet(input_ds)
+    elif url_set is not None:
+        input_ds = input_ds.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("url"), value_set=url_set)),
+            batch_format="pyarrow",
+        )
     canon_keys = clusters_ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("is_canonical"), True)).select(
             ["url", "warc_ts"]
         ),
         batch_format="pyarrow",
     )
+    if url_set is not None:
+        canon_keys = canon_keys.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("url"), value_set=url_set)),
+            batch_format="pyarrow",
+        ).materialize()
+        if canon_keys.count() == 0:
+            # none of the requested urls is canonical: the reconstruct is
+            # legitimately empty — short-circuit BEFORE the join (Ray's
+            # hash join loses the key schema when one side is entirely
+            # empty blocks) and commit an explicit zero-row manifest
+            import os
+
+            from sick_ray.state.manifest import commit_manifest
+
+            os.makedirs(out_dir, exist_ok=True)
+            man = commit_manifest(out_dir, "deduped_corpus", "reconstruct")
+            return man["total_rows"], out_dir
     kept = input_ds.join(
         canon_keys,
         join_type="left_semi",

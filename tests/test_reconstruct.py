@@ -32,3 +32,24 @@ def test_write_deduped_corpus(ray_session, small_corpus, tmp_path):
     assert set(kept["url"]) == set(cl[cl["is_canonical"]]["url"])
     # manifest committed
     assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
+
+    # --- lazy filtered reconstruct (the resolveFull analogue,
+    # CirceTraverser.scala:190-231): a url SUBSET reconstructs
+    # byte-identically without a full corpus pass (url predicate pushed
+    # into the parquet read) ---
+    want_urls = sorted(cl[cl["is_canonical"]]["url"])[:5]
+    out2 = str(tmp_path / "deduped_subset")
+    n_sub, _ = write_deduped_corpus(web_path, res.clusters, out2,
+                                    urls=want_urls)
+    assert n_sub == len(want_urls)
+    sub = pq.read_table(out2).to_pandas()
+    assert sorted(sub["url"]) == want_urls
+    for u, t in zip(sub["url"], sub["text"]):
+        assert t.encode("utf-8") == src_text[u].encode("utf-8")
+    # a non-canonical url must NOT resurface via the subset path
+    non_canon = cl[~cl["is_canonical"]]["url"]
+    if len(non_canon):
+        out3 = str(tmp_path / "deduped_noncanon")
+        n_nc, _ = write_deduped_corpus(web_path, res.clusters, out3,
+                                       urls=[non_canon.iloc[0]])
+        assert n_nc == 0
