@@ -693,9 +693,27 @@ def q_doc_spans_anchored(sf_dir: str):
                            include_local=False)
 
 
-SQL_DOC_SPANS_ANCHORED = f"""
-SELECT url, start, "end" FROM read_parquet('{SPANS_GOLDEN["sf0.01"]}')
-"""
+def spans_golden_sql(sf_dir: str) -> str:
+    """Golden-oracle SQL for doc_spans_anchored at ``sf_dir``'s scale.
+    Spans are corpus-dependent — one golden per scale factor, regenerated
+    by scripts/make_spans_golden.py — so comparing another scale's output
+    against the wrong golden would report a spurious mismatch. Raises for
+    scales without a golden instead (ADVICE r3). The driver's static
+    ``oracle_sql()`` entry pins the sf0.01 golden (its correctness
+    scale); in-repo checks at other scales go through this selector."""
+    import os as _os
+
+    key = _os.path.basename(_os.path.normpath(sf_dir))
+    if key not in SPANS_GOLDEN:
+        raise ValueError(
+            f"no doc_spans_anchored golden for scale {key!r} (have "
+            f"{sorted(SPANS_GOLDEN)}); regenerate with "
+            "scripts/make_spans_golden.py"
+        )
+    return f'SELECT url, start, "end" FROM read_parquet(\'{SPANS_GOLDEN[key]}\')'
+
+
+SQL_DOC_SPANS_ANCHORED = spans_golden_sql("/root/testdata/sf0.01")
 
 
 def q_simhash_docs(sf_dir: str):

@@ -234,6 +234,115 @@ def semi_select(input_ds, keys_ds, on: str, num_partitions: int,
     return input_ds.map_batches(flt, batch_format="pyarrow")
 
 
+def anti_select(input_ds, keys_ds, on: str, num_partitions: int,
+                n_keys_hint: int | None = None,
+                bloom_prefilter: bool = True):
+    """Keep input rows whose ``on`` value does NOT appear in ``keys_ds`` —
+    the anti-join twin of :func:`semi_select`. Broadcast set-difference
+    filter under BROADCAST_KEYS_LIMIT keys; LEFT ANTI hash join above it.
+
+    ``bloom_prefilter`` (join path): a Bloom MISS proves the key is absent
+    from ``keys_ds`` (no false negatives), so rows missing the in-cluster
+    bitmap are kept WITHOUT ever shuffling; only the in-bloom minority
+    (true members + ~1% false positives) rides the exact left-anti join.
+    In the fresh-crawl case — most probe rows genuinely new — the join
+    moves a few percent of the input instead of all of it. The split
+    consumes ``input_ds`` twice, so pass a MATERIALIZED input (a lazy
+    pipeline would re-execute per consumer). Join-path payload columns
+    must be hash-join-compatible — pack list-typed payloads to
+    fixed-size binary first (index._pack_sig_blobs is the pattern)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    if n_keys_hint is None:
+        keys_ds = keys_ds.materialize()
+        n_keys = keys_ds.count()
+    else:
+        n_keys = n_keys_hint
+    if n_keys == 0:
+        return input_ds
+
+    if n_keys > BROADCAST_KEYS_LIMIT:
+        key_type = None
+        try:
+            key_type = keys_ds.schema().base_schema.field(on).type
+        except Exception:
+            pass
+        hashable = key_type is not None and (
+            pa.types.is_integer(key_type) or pa.types.is_string(key_type)
+            or pa.types.is_large_string(key_type)
+        )
+        if bloom_prefilter and hashable:
+            from sick_ray.functions.sketch import (
+                bloom_build,
+                bloom_contains,
+                bloom_params,
+            )
+            from sick_ray.xxh import xxh64_strings
+
+            m, k = bloom_params(n_keys)
+            is_str = not pa.types.is_integer(key_type)
+            keys_ds = keys_ds.materialize()
+
+            def key_ints(col) -> "np.ndarray":
+                if is_str:
+                    return xxh64_strings(col).view("int64")
+                return col.to_numpy(zero_copy_only=False)
+
+            def finalize_bloom(tbl: pa.Table):
+                return bloom_build(key_ints(tbl.column(on).combine_chunks()),
+                                   m, k)
+
+            bits_ref = assemble_blocks(
+                keys_ds, [on], finalize_bloom, empty=None
+            )
+
+            def split(want_hit: bool):
+                def f(batch: pa.Table) -> pa.Table:
+                    bits = ray.get(bits_ref)
+                    if bits is None:
+                        # no keys → every row is a miss
+                        return batch.slice(0, 0) if want_hit else batch
+                    vals = key_ints(batch.column(on).combine_chunks())
+                    hit = bloom_contains(bits, vals, k)
+                    return batch.filter(pa.array(hit if want_hit else ~hit))
+
+                return f
+
+            definite_new = input_ds.map_batches(split(False),
+                                                batch_format="pyarrow")
+            maybe = input_ds.map_batches(split(True),
+                                         batch_format="pyarrow").join(
+                keys_ds,
+                join_type="left_anti",
+                num_partitions=join_partitions(num_partitions),
+                on=(on,),
+            )
+            return definite_new.union(maybe)
+        return input_ds.join(
+            keys_ds,
+            join_type="left_anti",
+            num_partitions=join_partitions(num_partitions),
+            on=(on,),
+        )
+
+    def finalize_keys(tbl: pa.Table):
+        return tbl.column(on).combine_chunks()
+
+    ref = assemble_blocks(keys_ds, [on], finalize_keys, empty=None)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        if vs is None:
+            return batch
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column(on), value_set=vs))
+        )
+
+    return input_ds.map_batches(flt, batch_format="pyarrow")
+
+
 def finalize_dim_lookup(key_col: str, val_col: str, tbl: pa.Table):
     """assemble_blocks finalize for :func:`attach_dim`: (sorted int64 keys,
     matching value array) — binary-searchable in every probe task."""

@@ -66,10 +66,59 @@ def _add_fp(batch: pa.Table, text_col: str) -> pa.Table:
     fp = xxh64_strings(batch.column(text_col)).view(np.int64)
     out = batch.append_column("fp64", pa.array(fp, type=pa.int64()))
     if text_col != "text":
+        if "text" in out.column_names:
+            # renaming would produce two "text" columns and undefined
+            # downstream select/minhash behavior — refuse loudly
+            raise ValueError(
+                f'corpus has both text_col="{text_col}" and a "text" column;'
+                ' drop or rename one before indexing'
+            )
         out = out.rename_columns(
             ["text" if c == text_col else c for c in out.column_names]
         )
     return out
+
+
+def _pack_sig_blobs(batch: pa.Table) -> pa.Table:
+    """(fp64, sig, band_hash) with fixed_size_list columns → fixed-size
+    BINARY twins for the scale-path anti join (Arrow's hash join rejects
+    list-typed non-key payloads; lsh.verify_edges_join's to_blob trick)."""
+    from sick_ray.stages.minhash import fsl_to_numpy
+
+    out = {"fp64": batch.column("fp64")}
+    for name in ("sig", "band_hash"):
+        col = batch.column(name)
+        width = col.type.list_size
+        mat = np.ascontiguousarray(fsl_to_numpy(col, width))
+        nbytes = mat.dtype.itemsize * width
+        out[name + "_b"] = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(nbytes), batch.num_rows, [None, pa.py_buffer(mat.data)]
+        )
+    return pa.table(out)
+
+
+def _unpack_sig_blobs(cfg: DedupConfig):
+    """Inverse of :func:`_pack_sig_blobs` (zero-copy buffer views)."""
+    def unblob(col, np_dt, pa_dt, width):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        w = col.type.byte_width
+        vals = np.frombuffer(col.buffers()[1], dtype=np_dt,
+                             count=len(col) * width, offset=col.offset * w)
+        return pa.FixedSizeListArray.from_arrays(
+            pa.array(vals, type=pa_dt), width
+        )
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "fp64": batch.column("fp64"),
+            "sig": unblob(batch.column("sig_b"), np.uint32, pa.uint32(),
+                          cfg.num_perm),
+            "band_hash": unblob(batch.column("band_hash_b"), np.int64,
+                                pa.int64(), cfg.bands),
+        })
+
+    return f
 
 
 def _distinct_sigs(part: pa.Table) -> pa.Table:
@@ -221,6 +270,53 @@ def _make_cross_emitter(cap: int):
     return emit
 
 
+def _make_grid_salter(hot_sorted: np.ndarray, g: int):
+    """Skew scatter for the probe's old×new bucket shuffle: rows of a HOT
+    bucket (boilerplate band values — count pre-pass over narrow rows,
+    same detection as lsh.candidate_edges) are replicated into a g×g cell
+    grid — old (side 0) rows to the g cells of grid-row ``h(fp)%g``, new
+    (side 1) rows to the g cells of grid-column ``h(fp)%g`` — so every
+    old×new pair still meets in EXACTLY one cell while each cell holds
+    ~1/g of each side (the classic skewed-join grid). The pair cap then
+    applies per cell (still counted, never silent); replication factor on
+    hot rows is g; cold rows pass through untouched. A 2⁻⁶⁴ salted-key
+    collision with a real bucket merely adds candidate pairs, which the
+    signature verify step filters — the same false-positive contract as
+    LSH banding itself."""
+    from sick_ray.shuffle import U64, mix64
+    from sick_ray.stages.lsh import _POLY
+
+    def salt(batch: pa.Table) -> pa.Table:
+        bkt = batch.column("bkt").to_numpy(zero_copy_only=False)
+        if len(hot_sorted) == 0 or batch.num_rows == 0:
+            return batch
+        pos = np.clip(np.searchsorted(hot_sorted, bkt), 0,
+                      len(hot_sorted) - 1)
+        hot = hot_sorted[pos] == bkt
+        if not hot.any():
+            return batch
+        cold_tbl = batch.filter(pa.array(~hot))
+        fp = batch.column("fp64").to_numpy(zero_copy_only=False)
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        hb = np.repeat(bkt[hot], g).view(np.uint64)
+        hf = np.repeat(fp[hot], g)
+        hs = np.repeat(side[hot], g)
+        k = np.tile(np.arange(g, dtype=np.uint64), int(hot.sum()))
+        h = hf.view(np.uint64) % U64(g)
+        row = np.where(hs == 0, h, k)
+        col = np.where(hs == 0, k, h)
+        cell = row * U64(g) + col
+        sbkt = mix64(hb * _POLY + cell + U64(1)).view(np.int64)
+        hot_tbl = pa.table({
+            "bkt": pa.array(sbkt, type=pa.int64()),
+            "fp64": pa.array(hf, type=pa.int64()),
+            "side": pa.array(hs, type=pa.int8()),
+        }).select(cold_tbl.column_names)
+        return pa.concat_tables([cold_tbl, hot_tbl])
+
+    return salt
+
+
 def _distinct_uv(part: pa.Table) -> pa.Table:
     if part.num_rows == 0:
         return part
@@ -278,6 +374,17 @@ def probe_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
         .map_batches(tag(1), batch_format="pyarrow")
     band_rows = old_buckets.union(new_buckets)
 
+    # skewed/boilerplate buckets would land every row in one partition
+    # task: count pre-pass (narrow rows, same detection as candidate_edges)
+    # then g×g grid scatter — each old×new pair still meets exactly once
+    from sick_ray.stages.lsh import hot_buckets
+
+    hot = hot_buckets(band_rows, cfg)
+    if len(hot):
+        g = max(2, int(np.sqrt(cfg.salt_fanout)))
+        band_rows = band_rows.map_batches(_make_grid_salter(hot, g),
+                                          batch_format="pyarrow")
+
     raw = grouped_apply(
         band_rows, ["bkt"], _make_cross_emitter(cfg.max_pairs_per_bucket),
         num_partitions=cfg.num_partitions,
@@ -319,12 +426,13 @@ def extend_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
     and leave them invisible to every future probe.
 
     The existing-fp filter broadcasts the index's fp64 column (8 B/doc —
-    ~160 MB at the BROADCAST_SIG_LIMIT); past that scale the same filter
-    is shuffle.semi_select's Bloom-prefiltered anti join on fp64."""
+    ~160 MB at the BROADCAST_SIG_LIMIT) while the index is small enough,
+    and switches to shuffle.anti_select's Bloom-prefiltered left-anti
+    join on fp64 above it (same size gate as probe's verify step)."""
     import ray
     import ray.data as rd
 
-    from sick_ray.shuffle import assemble_blocks, unique_fp64
+    from sick_ray.shuffle import anti_select, assemble_blocks, unique_fp64
 
     manifest = load_index_manifest(index_dir)
     want = _sig_identity(cfg)
@@ -336,21 +444,40 @@ def extend_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
     if new_sigs is None:
         new_sigs = snapshot_sigs(new_docs_ds, cfg, text_col)
 
-    old_fps = rd.read_parquet(os.path.join(index_dir, "signatures"),
-                              columns=["fp64"]).materialize()
-    fp_ref = assemble_blocks(old_fps, ["fp64"], unique_fp64,
-                             empty=np.empty(0, dtype=np.int64))
+    if manifest["n_docs_indexed"] <= BROADCAST_SIG_LIMIT:
+        old_fps = rd.read_parquet(os.path.join(index_dir, "signatures"),
+                                  columns=["fp64"]).materialize()
+        fp_ref = assemble_blocks(old_fps, ["fp64"], unique_fp64,
+                                 empty=np.empty(0, dtype=np.int64))
 
-    def drop_existing(batch: pa.Table) -> pa.Table:
-        old = ray.get(fp_ref)
-        if batch.num_rows == 0 or len(old) == 0:
-            return batch
-        fp = batch.column("fp64").to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(old, fp), len(old) - 1)
-        return batch.filter(pa.array(old[pos] != fp))
+        def drop_existing(batch: pa.Table) -> pa.Table:
+            old = ray.get(fp_ref)
+            if batch.num_rows == 0 or len(old) == 0:
+                return batch
+            fp = batch.column("fp64").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(old, fp), len(old) - 1)
+            return batch.filter(pa.array(old[pos] != fp))
 
-    fresh = new_sigs.map_batches(drop_existing,
-                                 batch_format="pyarrow").materialize()
+        fresh = new_sigs.map_batches(drop_existing,
+                                     batch_format="pyarrow").materialize()
+    else:
+        # index too large to hold as one array in any worker: Bloom-split
+        # anti join (anti_select consumes its input twice → materialize).
+        # sig/band_hash ride the join packed as fixed-size binary — Arrow's
+        # hash join rejects list-typed non-key payloads (same trick as
+        # lsh.verify_edges_join)
+        packed = new_sigs.map_batches(
+            _pack_sig_blobs, batch_format="pyarrow"
+        ).materialize()
+        fresh = anti_select(
+            packed,
+            rd.read_parquet(os.path.join(index_dir, "signatures"),
+                            columns=["fp64"]),
+            on="fp64",
+            num_partitions=cfg.num_partitions,
+            n_keys_hint=manifest["n_docs_indexed"],
+        ).map_batches(_unpack_sig_blobs(cfg),
+                      batch_format="pyarrow").materialize()
     n_added = fresh.count()
     if n_added:
         fresh.select_columns(["fp64", "band_hash"]).map_batches(

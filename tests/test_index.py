@@ -260,3 +260,74 @@ def test_extend_crash_between_writes_is_self_healing(halves, tmp_path,
     pairs = probe_dedup_index(rd.from_arrow(b), idx_dir, cfg).to_pandas()
     self_matches = set(pairs.loc[pairs["u"] == pairs["v"], "u"].astype(np.int64))
     assert set(fb.tolist()) <= self_matches
+
+
+def test_add_fp_text_collision_raises(ray_session, tmp_path):
+    """A corpus carrying BOTH the caller's text_col and a literal "text"
+    column would end up with two "text" columns after the conform rename
+    — refuse loudly instead (ADVICE r3)."""
+    import ray.data as rd
+
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=4)
+    a = pa.table({
+        "body": [f"one two three four five six {i}" for i in range(6)],
+        "text": ["clash"] * 6,
+    })
+    with pytest.raises(Exception, match="text"):
+        build_dedup_index(rd.from_arrow(a), str(tmp_path / "idx"), cfg,
+                          text_col="body")
+
+
+def test_extend_join_path_matches_broadcast(halves, tmp_path, monkeypatch):
+    """Force the past-BROADCAST_SIG_LIMIT anti-join path on extend and
+    assert the resulting index is identical to the broadcast path's —
+    same appended fp set, same manifest count."""
+    import ray.data as rd
+
+    import sick_ray.shuffle as sh
+    import sick_ray.stages.index as ix
+    from sick_ray.stages.index import extend_dedup_index
+
+    a, b = halves
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=8)
+
+    d_bcast = str(tmp_path / "idx_bcast")
+    build_dedup_index(rd.from_arrow(a), d_bcast, cfg)
+    m_bcast = extend_dedup_index(rd.from_arrow(b), d_bcast, cfg)
+
+    d_join = str(tmp_path / "idx_join")
+    build_dedup_index(rd.from_arrow(a), d_join, cfg)
+    monkeypatch.setattr(ix, "BROADCAST_SIG_LIMIT", 0)   # force anti_select
+    monkeypatch.setattr(sh, "BROADCAST_KEYS_LIMIT", 0)  # ... its join path
+    m_join = extend_dedup_index(rd.from_arrow(b), d_join, cfg)
+
+    assert m_join["n_docs_added"] == m_bcast["n_docs_added"]
+    assert m_join["n_docs_indexed"] == m_bcast["n_docs_indexed"]
+    fps_b = set(pq.read_table(os.path.join(d_bcast, "signatures"),
+                              columns=["fp64"])["fp64"].to_pylist())
+    fps_j = set(pq.read_table(os.path.join(d_join, "signatures"),
+                              columns=["fp64"])["fp64"].to_pylist())
+    assert fps_b == fps_j
+    # extending the join-path index AGAIN with b adds nothing (idempotent
+    # through the anti-join path too)
+    again = extend_dedup_index(rd.from_arrow(b), d_join, cfg)
+    assert again["n_docs_added"] == 0
+
+
+def test_probe_salted_matches_unsalted(halves, tmp_path):
+    """Grid-salting the probe's bucket shuffle (hot_bucket_threshold=1 →
+    every ≥2-row bucket scatters into the g×g cell grid) must yield the
+    exact same verified pair set as the unsalted probe — every old×new
+    pair meets in exactly one cell."""
+    import ray.data as rd
+
+    a, b = halves
+    idx_dir = str(tmp_path / "idx")
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=8)
+    build_dedup_index(rd.from_arrow(a), idx_dir, cfg)
+
+    base = probe_dedup_index(rd.from_arrow(b), idx_dir, cfg).to_pandas()
+    hot_cfg = DedupConfig(minhash_concurrency=2, num_partitions=8,
+                          hot_bucket_threshold=1)
+    salted = probe_dedup_index(rd.from_arrow(b), idx_dir, hot_cfg).to_pandas()
+    assert set(zip(base["u"], base["v"])) == set(zip(salted["u"], salted["v"]))

@@ -143,3 +143,44 @@ def test_attach_dim_paths_agree(ray_session, monkeypatch):
     monkeypatch.setattr(sh, "BROADCAST_KEYS_LIMIT", 10)   # force join path
     got_join = run()
     pd.testing.assert_frame_equal(got_bcast, got_join)
+
+
+def test_anti_select_paths_agree(ray_session, monkeypatch):
+    """anti_select (the extend path's existing-fp filter at scale) must
+    keep exactly the non-members on every path: broadcast set-diff,
+    plain left-anti join, and the bloom-split join (a bloom MISS keeps a
+    row without shuffling; bloom false positives must be re-checked by
+    the join, never dropped)."""
+    import ray.data as rd
+
+    import sick_ray.shuffle as sh
+
+    rng = np.random.default_rng(13)
+    perm = rng.permutation(np.arange(5000))
+    inp = pa.table({
+        "fp": pa.array(perm, type=pa.int64()),
+        "payload": pa.array([f"p{v}" for v in perm]),
+    })
+    keys = pa.table({"fp": pa.array(np.arange(0, 5000, 7), type=pa.int64())})
+    input_ds = rd.from_arrow(inp).materialize()
+    keys_ds = rd.from_arrow(keys)
+
+    want = set(range(5000)) - set(range(0, 5000, 7))
+
+    got_bcast = sh.anti_select(input_ds, keys_ds, "fp", 4).to_pandas()
+    assert set(got_bcast["fp"]) == want
+    # payload survives untouched on the kept rows
+    assert (got_bcast["payload"] == "p" + got_bcast["fp"].astype(str)).all()
+
+    monkeypatch.setattr(sh, "BROADCAST_KEYS_LIMIT", 10)   # force join path
+    got_bloom = sh.anti_select(input_ds, keys_ds, "fp", 4).to_pandas()
+    assert set(got_bloom["fp"]) == want
+    got_plain = sh.anti_select(
+        input_ds, keys_ds, "fp", 4, bloom_prefilter=False
+    ).to_pandas()
+    assert set(got_plain["fp"]) == want
+
+    # empty key set keeps everything (and short-circuits)
+    empty = rd.from_arrow(pa.table({"fp": pa.array([], type=pa.int64())}))
+    got_empty = sh.anti_select(input_ds, empty, "fp", 4).to_pandas()
+    assert set(got_empty["fp"]) == set(range(5000))

@@ -98,9 +98,18 @@ def test_anchored_spans_match_scalar_golden_sf01(ray_session):
     from sick_ray.pipelines.queries import _docs_as_webtext
     from sick_ray.stages.suffix import duplicate_spans
 
-    golden = pq.read_table(
-        "/root/repo/tests/golden/spans_anchored_sf01.parquet"
-    ).to_pandas().sort_values(["url", "start"]).reset_index(drop=True)
+    import duckdb
+    import pytest
+
+    from sick_ray.pipelines.queries import spans_golden_sql
+
+    golden = duckdb.sql(
+        spans_golden_sql("/root/testdata/sf0.1")
+    ).df().sort_values(["url", "start"]).reset_index(drop=True)
+    # the selector refuses scales without a golden (wrong-golden compares
+    # must fail loudly, not spuriously)
+    with pytest.raises(ValueError, match="no doc_spans_anchored golden"):
+        spans_golden_sql("/root/testdata/sf9.9")
 
     outs = []
     for parts in (16, 5):
