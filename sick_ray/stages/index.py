@@ -372,14 +372,25 @@ def probe_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
     new_buckets = new_sigs.select_columns(["fp64", "band_hash"]) \
         .map_batches(explode_bands, batch_format="pyarrow") \
         .map_batches(tag(1), batch_format="pyarrow")
-    band_rows = old_buckets.union(new_buckets)
+    # materialized ONCE: 17 B/row narrow rows consumed by the count
+    # pre-pass and again by the pair shuffle (lazy would re-read the
+    # bucket parquet and re-explode per consumer)
+    band_rows = old_buckets.union(new_buckets).materialize()
 
-    # skewed/boilerplate buckets would land every row in one partition
-    # task: count pre-pass (narrow rows, same detection as candidate_edges)
-    # then g×g grid scatter — each old×new pair still meets exactly once
-    from sick_ray.stages.lsh import hot_buckets
+    # ONE count pre-pass, shared by skew detection AND the singleton-
+    # bucket Bloom prefilter (same machinery as lsh.candidate_edges):
+    # singleton buckets — the majority in a mostly-novel crawl — can
+    # never emit an old×new pair, so they drop map-side before the sort;
+    # hot/boilerplate buckets grid-scatter so no single partition task
+    # holds a whole skewed bucket (each old×new pair still meets in
+    # exactly one g×g cell)
+    from sick_ray.stages.lsh import dup_bucket_index, make_bloom_prefilter
 
-    hot = hot_buckets(band_rows, cfg)
+    hot, bloom_ref, bloom_k, _n_dup = dup_bucket_index(band_rows, cfg)
+    if bloom_ref is not None and cfg.dup_bucket_prefilter:
+        band_rows = band_rows.map_batches(
+            make_bloom_prefilter(bloom_ref, bloom_k), batch_format="pyarrow"
+        )
     if len(hot):
         g = max(2, int(np.sqrt(cfg.salt_fanout)))
         band_rows = band_rows.map_batches(_make_grid_salter(hot, g),
