@@ -1,0 +1,152 @@
+"""10x-regime headline bench (VERDICT r3 item 8): the full 3-stage dedup
+pipeline at 8,000,000 synthetic webtext docs — 10x the 800k scaling
+regime — at 8 and 32 CPUs, one fresh process per level, reporting
+per-stage wall, object-store spill bytes, and the fixed-cost share
+relative to the 800k regime.
+
+Usage:
+    python scripts/bench_10x.py                    # parent: both levels
+    python scripts/bench_10x.py --child NCPU NDOCS # one measured run
+
+The parent writes BENCH/scaling_r4_8m.json. Corpus generation is cached
+under /tmp/sick_ray_synth (one-time ~tens of minutes at 8M).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_DOCS = int(os.environ.get("GRAFT_10X_DOCS", 8_000_000))
+# data-layout: 10x the docs of the 800k regime (num_partitions=64) at a
+# constant-ish per-partition size -> 10x the partitions, rounded to 512
+N_PARTITIONS = int(os.environ.get("GRAFT_10X_PARTITIONS", 512))
+
+
+def spill_stats() -> dict:
+    """Object-store spill counters — parsed from the session's
+    debug_state.txt (refreshed periodically by the raylet) plus the last
+    raylet.out spill message; memory_summary() needs grpc, absent here."""
+    out = {}
+    try:
+        import ray
+
+        sdir = ray._private.worker.global_worker.node.get_session_dir_path()
+        dbg = os.path.join(sdir, "logs", "debug_state.txt")
+        wanted = ("num bytes currently spilled", "cumulative spill requests",
+                  "cumulative restore requests", "num bytes pending spill")
+        with open(dbg, errors="ignore") as f:
+            for line in f:
+                ls = line.strip().lstrip("- ")
+                for w in wanted:
+                    if ls.startswith(w):
+                        out[w.replace(" ", "_")] = int(ls.split(":")[1])
+        raylet = os.path.join(sdir, "logs", "raylet.out")
+        last = None
+        if os.path.exists(raylet):
+            with open(raylet, errors="ignore") as f:
+                for line in f:
+                    if "Spilled " in line:
+                        last = line.strip()
+        if last:
+            out["raylet_last_spill"] = last[-220:]
+    except Exception as ex:  # stats are best-effort diagnostics
+        out["error"] = repr(ex)[:200]
+    return out
+
+
+def child(ncpu: int, n_docs: int) -> None:
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    from sick_ray.config import DedupConfig
+    from sick_ray.pipelines.dedup import run_full
+    from sick_ray.synth import materialize_corpus
+
+    corpus_dir = materialize_corpus(n_docs, seed=42)
+    web_path = os.path.join(corpus_dir, "webtext.parquet")
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    # warm-up (untimed): spawn the worker pool + page-cache the parquet
+    rd.read_parquet(web_path).map_batches(
+        lambda b: b.select([b.column_names[0]]), batch_format="pyarrow"
+    ).materialize()
+
+    cfg = DedupConfig(
+        minhash_concurrency=max(2, ncpu // 2),
+        num_partitions=N_PARTITIONS,
+    )
+    t0 = time.time()
+    full = run_full(web_path, cfg)
+    wall = time.time() - t0
+    print(json.dumps({
+        "num_cpus": ncpu,
+        "n_docs": n_docs,
+        "num_partitions": N_PARTITIONS,
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "exact_sec": round(full.timings["exact_sec"], 1),
+        "near_sec": round(full.timings["near_sec"], 1),
+        "spans_sec": round(full.timings["spans_sec"], 1),
+        "n_edges": full.dedup.n_edges,
+        "n_canonical": full.dedup.n_canonical,
+        "n_cluster_rows": full.timings["n_cluster_rows"],
+        "n_spans": full.n_spans,
+        "spill": spill_stats(),
+    }))
+    ray.shutdown()
+
+
+def parent() -> None:
+    # generate/cache in a throwaway process so generation memory churn
+    # never pollutes the measured sessions
+    subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "from sick_ray.synth import materialize_corpus; "
+         "materialize_corpus(%d, seed=42)" % (REPO, N_DOCS)],
+        check=True,
+    )
+    runs = {}
+    for ncpu in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             str(ncpu), str(N_DOCS)],
+            capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"child at {ncpu} cpus exited {proc.returncode}")
+        runs[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+        print(json.dumps(runs[ncpu]), flush=True)
+
+    eff_8_32 = (runs[8]["wall_sec"] / runs[32]["wall_sec"]) / 4
+    out = {
+        "metric": "10x-regime headline (8M docs, fresh processes)",
+        "runs": {str(k): v for k, v in runs.items()},
+        "scaling_efficiency_8_32": round(eff_8_32, 3),
+    }
+    dst = os.path.join(REPO, "BENCH", "scaling_r4_8m.json")
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--child" in sys.argv:
+        i = sys.argv.index("--child")
+        child(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+    else:
+        parent()
