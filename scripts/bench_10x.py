@@ -91,6 +91,30 @@ def child(ncpu: int, n_docs: int) -> None:
     t0 = time.time()
     full = run_full(web_path, cfg)
     wall = time.time() - t0
+
+    # dup-pair recall vs the planted truth (north-rule >=0.99 at J>=0.9):
+    # only the truth-pair urls' cluster rows leave the cluster (semi_select
+    # broadcast), never the full 8M-row membership table
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sick_ray.shuffle import semi_select
+
+    tp = pq.read_table(
+        os.path.join(corpus_dir, "truth_pairs.parquet")).to_pandas()
+    url_keys = pa.table({"url": pa.array(
+        sorted(set(tp["src_url"]) | set(tp["dst_url"])))})
+    cdf = semi_select(
+        full.dedup.clusters, rd.from_arrow(url_keys), on="url",
+        num_partitions=N_PARTITIONS,
+    ).to_pandas()
+    cmap = dict(zip(cdf["url"], cdf["cluster_id"]))
+    strong = tp[tp["jaccard"] >= 0.9]
+    hit = sum(cmap.get(r.src_url) == cmap.get(r.dst_url)
+              and cmap.get(r.src_url) is not None
+              for r in strong.itertuples())
+    recall = hit / max(1, len(strong))
+
     print(json.dumps({
         "num_cpus": ncpu,
         "n_docs": n_docs,
@@ -104,6 +128,8 @@ def child(ncpu: int, n_docs: int) -> None:
         "n_canonical": full.dedup.n_canonical,
         "n_cluster_rows": full.timings["n_cluster_rows"],
         "n_spans": full.n_spans,
+        "recall_j09": round(recall, 5),
+        "n_truth_pairs_j09": int(len(strong)),
         "spill": spill_stats(),
     }))
     ray.shutdown()
