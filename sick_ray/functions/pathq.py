@@ -79,7 +79,14 @@ def _render(val) -> str | None:
 def make_path_extractor(paths: dict[str, str], col: str, keep: list[str]):
     """map_batches fn: for each ``out_name -> path`` extract one output
     string column from the JSON ``col``; ``keep`` columns pass through.
-    One json.loads per row feeds ALL requested paths."""
+    One json.loads per row feeds ALL requested paths.
+
+    This is the SLOW GENERAL path — arbitrary-JSON parsing is inherently
+    rowwise (one Python parse + walk per row). Shallow single-key paths
+    on flat objects should use the vectorized RE2 extractor
+    (queries.q_props_path), and deep paths on KNOWN-schema struct columns
+    should route through ``pyarrow.compute.struct_field`` instead of ever
+    parsing text; reserve this extractor for truly schemaless payloads."""
     parsed = {name: parse_path(p) for name, p in paths.items()}
 
     def extract(batch: pa.Table) -> pa.Table:
