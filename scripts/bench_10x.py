@@ -147,6 +147,13 @@ def parent() -> None:
     )
     runs = {}
     for ncpu in (8, 32):
+        # clear the previous child's Ray session tree (spill files): this
+        # box has a hard disk quota and a killed/finished session's spilled
+        # objects otherwise eat the next child's spill headroom (measured:
+        # 27 GB of stale spill pushed the whash sort over the 95% disk
+        # ceiling -> OutOfDiskError)
+        import shutil
+        shutil.rmtree("/tmp/ray", ignore_errors=True)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child",
              str(ncpu), str(N_DOCS)],

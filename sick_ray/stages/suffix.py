@@ -345,6 +345,16 @@ def _merge_url_spans_partition(part: pa.Table) -> pa.Table:
 # overhead. ~2 MB of text per call keeps per-task allocations ~30 MB.
 SA_BATCH_DOCS = 1024
 
+# anchor-pass batch size. window_hashes allocates ~40 B of transient
+# uint64 prefix arrays per text byte and emit calls it twice (~80 B/byte);
+# with batch_size=None a whole block (hundreds of MB of text at the 8M-doc
+# regime) became ONE batch → tens of GB per task, and the full object
+# store throttled the stage to ~3 concurrent tasks on an 8-CPU session
+# (measured: the anchor chain dominated the 8M wall). ~8k docs ≈ 16 MB
+# text caps the transient at ~1.3 GB per task and restores wide,
+# uniform parallelism.
+ANCHOR_BATCH_DOCS = 8192
+
 # above this many docs the uhash→url re-attach switches from a
 # plasma-assembled broadcast lookup to a distributed hash join
 BROADCAST_URLMAP_LIMIT = 2_000_000
@@ -416,7 +426,8 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
             make_sa_span_finder(cfg), batch_format="pyarrow",
             batch_size=SA_BATCH_DOCS
         ).materialize()
-    anchors = docs.map_batches(make_anchor_emitter(cfg), batch_format="pyarrow", batch_size=None)
+    anchors = docs.map_batches(make_anchor_emitter(cfg), batch_format="pyarrow",
+                               batch_size=ANCHOR_BATCH_DOCS)
     # STAGED, not fused: a single streaming execution containing BOTH the
     # whash sort and the downstream uhash merge sort scales badly — the
     # executor splits the CPU pool across the chained AllToAll stages and
