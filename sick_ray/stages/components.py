@@ -157,17 +157,39 @@ def _small_star_partition(part: pa.Table) -> pa.Table:
     return _pairs_table(*_dedup_pairs(out_u, out_v))
 
 
+def _stats_partial(batch: pa.Table) -> pa.Table:
+    """One (n, acc) row per block: count + order-independent checksum
+    partial, computed where the block lives. The per-edge hash sum is
+    commutative, so folding block partials in any order gives the same
+    result as a single pass."""
+    u = batch.column("u").to_numpy(zero_copy_only=False).view(U64)
+    v = batch.column("v").to_numpy(zero_copy_only=False).view(U64)
+    with np.errstate(over="ignore"):
+        acc = mix64(u * _POLY + v).sum(dtype=U64)
+    return pa.table(
+        {
+            "n": pa.array([len(u)], type=pa.int64()),
+            "acc": pa.array([int(acc)], type=pa.uint64()),
+        }
+    )
+
+
 def _edge_stats(edges_ds) -> tuple[int, int]:
-    """(count, order-independent checksum) — the only per-round driver
-    state of the scale path."""
+    """(count, order-independent checksum) for the fixpoint test.
+
+    Distributed: each block emits a single (n, acc) partial via
+    ``map_batches`` and only those O(blocks) 16-byte rows reach the driver
+    — never the edge table itself (at 10^12 edges the full table is
+    terabytes/round; the partials are kilobytes)."""
+    parts = edges_ds.map_batches(
+        _stats_partial, batch_format="pyarrow", batch_size=None
+    )
     n = 0
     acc = U64(0)
-    for b in edges_ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
-        u = b.column("u").to_numpy(zero_copy_only=False).view(U64)
-        v = b.column("v").to_numpy(zero_copy_only=False).view(U64)
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        n += int(np.sum(b.column("n").to_numpy(zero_copy_only=False)))
         with np.errstate(over="ignore"):
-            acc += mix64(u * _POLY + v).sum(dtype=U64)
-        n += len(u)
+            acc += b.column("acc").to_numpy(zero_copy_only=False).sum(dtype=U64)
     return n, int(acc)
 
 
