@@ -14,6 +14,7 @@ under /tmp/sick_ray_synth (one-time ~tens of minutes at 8M).
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -62,7 +63,7 @@ def spill_stats() -> dict:
     return out
 
 
-def child(ncpu: int, n_docs: int) -> None:
+def child(ncpu: int, n_docs: int, temp_dir: str | None = None) -> None:
     import ray
     import ray.data as rd
     from ray.data import DataContext
@@ -75,7 +76,7 @@ def child(ncpu: int, n_docs: int) -> None:
     web_path = os.path.join(corpus_dir, "webtext.parquet")
 
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", _temp_dir=temp_dir)
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
@@ -147,16 +148,17 @@ def parent() -> None:
     )
     runs = {}
     for ncpu in (8, 32):
-        # clear the previous child's Ray session tree (spill files): this
-        # box has a hard disk quota and a killed/finished session's spilled
-        # objects otherwise eat the next child's spill headroom (measured:
-        # 27 GB of stale spill pushed the whash sort over the 95% disk
-        # ceiling -> OutOfDiskError)
-        import shutil
-        shutil.rmtree("/tmp/ray", ignore_errors=True)
+        # each child gets its own Ray temp root so (a) stale spill files
+        # from the previous level never eat this level's disk headroom
+        # (measured: 27 GB of stale spill pushed the whash sort over the
+        # 95% disk ceiling -> OutOfDiskError) and (b) we never touch the
+        # machine-global /tmp/ray, which may belong to a live session of
+        # another process
+        temp_dir = f"/tmp/sick_ray_bench10x_ray_{ncpu}"
+        shutil.rmtree(temp_dir, ignore_errors=True)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child",
-             str(ncpu), str(N_DOCS)],
+             str(ncpu), str(N_DOCS), temp_dir],
             capture_output=True, text=True,
         )
         if proc.returncode != 0:
@@ -164,6 +166,7 @@ def parent() -> None:
             raise RuntimeError(f"child at {ncpu} cpus exited {proc.returncode}")
         runs[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
         print(json.dumps(runs[ncpu]), flush=True)
+        shutil.rmtree(temp_dir, ignore_errors=True)  # free spill disk
 
     eff_8_32 = (runs[8]["wall_sec"] / runs[32]["wall_sec"]) / 4
     out = {
@@ -180,6 +183,10 @@ def parent() -> None:
 if __name__ == "__main__":
     if "--child" in sys.argv:
         i = sys.argv.index("--child")
-        child(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        child(
+            int(sys.argv[i + 1]),
+            int(sys.argv[i + 2]),
+            sys.argv[i + 3] if len(sys.argv) > i + 3 else None,
+        )
     else:
         parent()
