@@ -334,6 +334,67 @@ def test_kmeans_lloyd_matches_local_reference(ray_session):
     assert len(np.unique(ref_a)) > 1          # the clustering is non-trivial
 
 
+def test_kmeans_lloyd_large_k_incluster_combine(ray_session):
+    """The large-k regime (k*d > KMEANS_DRIVER_FOLD_MAX_CELLS) routes the
+    per-iteration partials through the in-cluster (c, j) combine; the
+    driver fold then sees exactly k*d rows instead of n_blocks*k*d
+    (VERDICT r4 item 3). Assignments must still match a single-process
+    Lloyd exactly at k=1024."""
+    import ray.data as rd
+
+    from sick_ray.stages.ann import (KMEANS_DRIVER_FOLD_MAX_CELLS,
+                                     _normalize, kmeans_lloyd)
+
+    n, d, k, iters = 4096, 16, 1024, 3
+    assert k * d > KMEANS_DRIVER_FOLD_MAX_CELLS  # combine path engaged
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), d),
+    })
+    emb = rd.from_arrow(tbl).repartition(13)
+
+    assigns, cent = kmeans_lloyd(emb, k=k, iters=iters, num_partitions=6)
+    got = assigns.to_pandas().sort_values("vec_id")
+
+    # local reference: same init (k lowest vec_ids), same update rule
+    m = _normalize(vecs)
+    c = m[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        a = np.argmax(m @ c.T, axis=1)
+        o = np.argsort(a, kind="stable")
+        a_s = a[o]
+        fm = np.ones(n, dtype=bool)
+        fm[1:] = a_s[1:] != a_s[:-1]
+        starts = np.flatnonzero(fm)
+        sums = np.add.reduceat(m[o], starts, axis=0)
+        for lab, v in zip(a_s[starts], sums):
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                c[lab] = v / nrm
+    ref_a = np.argmax(m @ c.T, axis=1)
+    assert (got["cluster"].to_numpy() == ref_a).all()
+    assert np.allclose(cent, c, atol=1e-8)
+    assert len(np.unique(ref_a)) > 64          # genuinely many clusters
+
+
+def test_fold_cj_partial_combine():
+    """_fold_cj sums (s, n) per (c, j) group regardless of row order."""
+    from sick_ray.stages.ann import _fold_cj
+
+    t = pa.table({
+        "c": pa.array([2, 0, 2, 0, 1], type=pa.int64()),
+        "j": pa.array([1, 0, 1, 0, 3], type=pa.int64()),
+        "s": pa.array([1.5, 2.0, 0.5, 3.0, 7.0], type=pa.float64()),
+        "n": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+    })
+    out = _fold_cj(t).to_pydict()
+    assert out == {"c": [0, 1, 2], "j": [0, 3, 1],
+                   "s": [5.0, 7.0, 2.0], "n": [6, 5, 4]}
+
+
 def test_quality_classifier_learns_and_matches_reference(ray_session):
     """Distributed logistic GD must reproduce a single-process numpy GD
     (same init/update/features) AND actually learn: accuracy well above
