@@ -864,8 +864,12 @@ def q_price_quantiles_sketch(sf_dir: str, k: int = 4096):
     (bottom-k sketch) whose p-quantile has rank error ~ sqrt(p(1-p)/k)
     (≈0.8% at k=4096). Only k rows per group per batch ever shuffle, and
     the quantile interpolation is the SAME _grouped_quantile_cont kernel
-    as the exact twin. Rows-only by design (estimates, not equal
-    values); pytest gates the estimated quantiles' true CDF positions."""
+    as the exact twin. The output is a DETERMINISTIC function of the
+    input (priorities are content-derived, bottom-k merge commutes), so
+    it is oracled GOLDEN-style against an independent scalar second
+    implementation (scripts/make_sketch_golden.py: pure-python
+    splitmix64 + per-group scalar interpolation); pytest additionally
+    gates the estimated quantiles' true CDF positions."""
     from sick_ray.shuffle import mix64
 
     li = _read(sf_dir, "lineitem",
@@ -3280,13 +3284,46 @@ FROM events GROUP BY event_type
 """
 
 
+# Golden conformance tables for the two deterministic sketch surfaces
+# (scripts/make_sketch_golden.py — independent scalar second
+# implementations; the script ASSERTS scalar == engine at every scale
+# before writing). One file holds all scales, keyed by an `sf` column;
+# the static oracle pins sf0.01 (the driver's correctness scale) and
+# tests/test_ops.py asserts the sf0.1 rows.
+SKETCH_HLL_GOLDEN = "/root/repo/tests/golden/sketch_hll_golden.parquet"
+SKETCH_PQ_GOLDEN = "/root/repo/tests/golden/sketch_pq_golden.parquet"
+
+
+def sketch_golden_sql(path: str, cols: str, sf_dir: str) -> str:
+    """Golden-oracle SQL selecting ``sf_dir``'s scale's rows. Sketch
+    outputs are corpus-dependent, so comparing another scale's output
+    against the wrong rows would report a spurious mismatch — the golden
+    file carries one row-set per generated scale."""
+    import os as _os
+
+    key = _os.path.basename(_os.path.normpath(sf_dir))
+    return f"SELECT {cols} FROM read_parquet('{path}') WHERE sf = '{key}'"
+
+
+SQL_EVENTS_USER_HLL = sketch_golden_sql(
+    SKETCH_HLL_GOLDEN, "event_type, approx_users", "/root/testdata/sf0.01")
+SQL_PRICE_QUANTILES_SKETCH = sketch_golden_sql(
+    SKETCH_PQ_GOLDEN, "l_returnflag, p25, p50, p75, p95",
+    "/root/testdata/sf0.01")
+
+
 def q_events_user_hll(sf_dir: str, p: int = 14):
     """APPROXIMATE per-event-type distinct users via HyperLogLog — the
     100-TB path: user ids NEVER shuffle; each batch emits one 2^p-byte
     register array per event type, merged by elementwise max. Standard
-    error 1.04/sqrt(2^p) ≈ 0.8% at p=14. Rows-only by design (the
-    estimate is within an error envelope, not equal); pytest gates it
-    against the exact twin q_events_distinct_users."""
+    error 1.04/sqrt(2^p) ≈ 0.8% at p=14. The register matrix (and hence
+    the estimate) is a DETERMINISTIC function of the input — max-merge
+    commutes across any batching — so it is oracled GOLDEN-style against
+    an independent scalar second implementation
+    (scripts/make_sketch_golden.py: python-int splitmix64 + bit_length
+    clz + math.fsum estimator vs the engine's vectorized numpy); pytest
+    additionally gates the estimate against the exact twin
+    q_events_distinct_users' error envelope."""
     from sick_ray.functions.sketch import hll_batch_registers, hll_merge_estimate
 
     ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
@@ -3341,9 +3378,14 @@ def q_top_terms_mg(sf_dir: str, cap: int = 4096):
     the shuffle carries at most cap rows per batch no matter how large
     the batch vocabulary is. Summed counters under-count any term by at
     most N_tokens/(cap+1); every term with true count above that bound
-    is guaranteed present. Rows-only by design; pytest gates membership
-    and the error bound against the exact q_top_terms (both are the SAME
-    _top_terms_impl code path, cap switched)."""
+    is guaranteed present. VALIDITY DOMAIN of the shared oracle: when
+    the TOTAL corpus vocabulary is ≤ cap, no batch can ever trigger the
+    MG compression regardless of batch boundaries, so the sketch output
+    provably EQUALS the exact top-20 — the synthetic corpus has 31
+    distinct terms vs cap=4096 at every scale, so this query shares
+    SQL_TOP_TERMS (the knn_lsh/knn_ivf recoverable-regime discipline).
+    The compression regime itself is pytest-gated with a small cap
+    against the N/(cap+1) bound (tests/test_ops.py)."""
     return _top_terms_impl(sf_dir, cap=cap)
 
 
@@ -4271,6 +4313,13 @@ ORACLES = {
     "byte_stats_docs": SQL_BYTE_STATS_DOCS,
     "url_deduped_curated": SQL_URL_DEDUPED_CURATED,
     "doc_spans_anchored": SQL_DOC_SPANS_ANCHORED,
+    # the three sketch surfaces, conformance-oracled (VERDICT r4 item 5):
+    # HLL + bottom-k-quantiles against independent-scalar goldens
+    # (deterministic outputs); MG shares the exact oracle in the
+    # provably-exact regime (corpus vocab 31 «  cap 4096)
+    "events_user_hll": SQL_EVENTS_USER_HLL,
+    "top_terms_mg": SQL_TOP_TERMS,
+    "price_quantiles_sketch": SQL_PRICE_QUANTILES_SKETCH,
     # dedup_clusters_docs / doc_spans: not SQL-expressible
     # (content-addressed ids, spans drift) → rows-only checks; each is
     # gated by a pytest oracle (golden tables or a second

@@ -475,6 +475,34 @@ def test_semdedup_matches_local_reference(ray_session):
     assert 0 < keep.sum() < len(keep)          # the prune actually bites
 
 
+def test_sketch_goldens_sf01(ray_session):
+    """The independent-scalar sketch goldens (make_sketch_golden.py) must
+    match the engine at sf0.1 too — the static driver oracle only pins
+    sf0.01 (the spans-golden discipline, tests/test_suffix.py)."""
+    import pyarrow.parquet as pq_
+
+    from sick_ray.pipelines.queries import (SKETCH_HLL_GOLDEN,
+                                            SKETCH_PQ_GOLDEN,
+                                            q_events_user_hll,
+                                            q_price_quantiles_sketch)
+
+    sf = "/root/testdata/sf0.1"
+    g = pq_.read_table(SKETCH_HLL_GOLDEN).to_pandas()
+    g = g[g["sf"] == "sf0.1"].drop(columns=["sf"])
+    eng = q_events_user_hll(sf).to_pandas()
+    pd.testing.assert_frame_equal(
+        eng.sort_values("event_type").reset_index(drop=True),
+        g.sort_values("event_type").reset_index(drop=True),
+    )
+    g2 = pq_.read_table(SKETCH_PQ_GOLDEN).to_pandas()
+    g2 = g2[g2["sf"] == "sf0.1"].drop(columns=["sf"])
+    eng2 = q_price_quantiles_sketch(sf).to_pandas()
+    pd.testing.assert_frame_equal(
+        eng2.sort_values("l_returnflag").reset_index(drop=True),
+        g2.sort_values("l_returnflag").reset_index(drop=True),
+    )
+
+
 def test_hll_within_error_envelope(ray_session):
     """HLL distinct-user estimates within 3 sigma (~2.5% at p=14) of the
     exact twin, per event type."""
