@@ -274,7 +274,89 @@ def main_ahash() -> None:
     print(f"wrote {table.num_rows} ahash rows ({n_fail} failed) -> {AHASH_OUT}")
 
 
+# ---------------------------------------------- frame-sampling golden
+#
+# Fourth golden output: scalar frame sampling of the VIDB video fixture
+# (synth_media_video(160, seed=13)) -> media_frames_golden.parquet, read
+# by the media_frames oracle. Container parsed with struct.unpack in a
+# python loop, frames decoded with decode_bmp_scalar, thumbnails via
+# thumb_cells_scalar, thumb_xxh via the engine's SCALAR xxh64 path (the
+# stage uses the independent batch path xxh64_strings; the two are
+# cross-checked against published vectors in tests/test_xxh.py).
+
+FRAMES_OUT = "/root/repo/tests/golden/media_frames_golden.parquet"
+N_SAMPLE_FRAMES = 4
+
+
+def decode_vidb_scalar(payload: bytes):
+    if len(payload) < 12 or payload[0:4] != b"VIDB":
+        raise ValueError("bad vidb")
+    n = struct.unpack_from("<I", payload, 4)[0]
+    if n == 0 or n > 1_000_000:
+        raise ValueError("bad frame count")
+    off = 12 + 4 * n
+    if len(payload) < off:
+        raise ValueError("truncated header")
+    frames, pos = [], off
+    for i in range(n):
+        ln = struct.unpack_from("<I", payload, 12 + 4 * i)[0]
+        if pos + ln > len(payload):
+            raise ValueError("truncated frames")
+        frames.append(payload[pos:pos + ln])
+        pos += ln
+    return frames
+
+
+def main_frames() -> None:
+    from sick_ray.stages.multimodal import synth_media_video
+    from sick_ray.xxh import xxh64  # scalar path; the stage runs the batch path
+
+    media = synth_media_video(160, seed=13)
+    ids = media.column("media_id").to_pylist()
+    payloads = media.column("payload").to_pylist()
+    out = {"media_id": [], "frame": [], "total_frames": [],
+           "thumb_xxh": [], "pix_mean": [], "failed": []}
+
+    def emit(mid, fr, tot, xxh, mean, failed):
+        out["media_id"].append(mid); out["frame"].append(fr)
+        out["total_frames"].append(tot); out["thumb_xxh"].append(xxh)
+        out["pix_mean"].append(mean); out["failed"].append(failed)
+
+    n_fail = 0
+    for mid, p in zip(ids, payloads):
+        try:
+            frames = decode_vidb_scalar(p)
+        except (ValueError, struct.error):
+            emit(int(mid), -1, 0, None, None, True)
+            n_fail += 1
+            continue
+        total = len(frames)
+        k = min(N_SAMPLE_FRAMES, total)
+        for j in range(k):
+            idx = (j * total) // k
+            try:
+                h, w, rows = decode_bmp_scalar(frames[idx])
+                cells = thumb_cells_scalar(h, w, rows)
+                xxh = int(np.uint64(xxh64(bytes(cells))).astype(np.int64))
+                mean = float(np.round(sum(cells) / len(cells), 4))
+                emit(int(mid), idx, total, xxh, mean, False)
+            except (ValueError, struct.error):
+                emit(int(mid), idx, total, None, None, True)
+                n_fail += 1
+    table = pa.table({
+        "media_id": pa.array(out["media_id"], type=pa.int64()),
+        "frame": pa.array(out["frame"], type=pa.int32()),
+        "total_frames": pa.array(out["total_frames"], type=pa.int32()),
+        "thumb_xxh": pa.array(out["thumb_xxh"], type=pa.int64()),
+        "pix_mean": pa.array(out["pix_mean"], type=pa.float64()),
+        "failed": pa.array(out["failed"], type=pa.bool_()),
+    })
+    pq.write_table(table, FRAMES_OUT, compression="zstd")
+    print(f"wrote {table.num_rows} frame rows ({n_fail} failed) -> {FRAMES_OUT}")
+
+
 if __name__ == "__main__":
     main()
     main_phash()
     main_ahash()
+    main_frames()

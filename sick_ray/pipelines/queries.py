@@ -3926,6 +3926,39 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 
+def q_media_frames(sf_dir: str):
+    """REAL video frame sampling over the deterministic VIDB fixture
+    (stages/multimodal.py::FrameSampler): parse the length-prefixed BMP
+    frame container, decode k = 4 evenly spaced frames per video
+    (index j·F // k) in an actor pool with small batches, and emit one
+    integer-exact feature row per sampled frame (thumb_xxh = xxh64 of
+    the 8×8 milli-weight thumbnail; pix_mean from the exact int sum).
+    Per-row error isolation at BOTH container and frame level. Oracled
+    against a golden table built by an INDEPENDENT scalar
+    implementation (scripts/make_media_golden.py::main_frames:
+    struct-unpacked container walk + per-pixel python thumbnail + the
+    scalar xxh64 path vs the stage's vectorized batch path — the
+    media_decode_real conformance discipline)."""
+    import ray.data as rd
+
+    from sick_ray.stages.multimodal import sample_frames, synth_media_video
+
+    media = rd.from_arrow(synth_media_video(160, seed=13))
+    out = sample_frames(media, n_frames=4, concurrency=2).to_pandas()
+    out["failed"] = out["decode_err"].notna()
+    out = out.drop(columns=["decode_err"]).sort_values(
+        ["media_id", "frame"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+MEDIA_FRAMES_GOLDEN = "/root/repo/tests/golden/media_frames_golden.parquet"
+
+SQL_MEDIA_FRAMES = f"""
+SELECT media_id, frame, total_frames, thumb_xxh, pix_mean, failed
+FROM read_parquet('{MEDIA_FRAMES_GOLDEN}')
+"""
+
+
 def _byte_stats_kernel(batch: pa.Table) -> pa.Table:
     """Per-doc byte-histogram stats, fully vectorized: one bincount over
     (doc_index * 256 + byte) for the whole batch — no per-doc loop."""
@@ -4182,6 +4215,7 @@ QUERIES = {
     "byte_stats_docs": q_byte_stats_docs,
     "url_deduped_curated": q_url_deduped_curated,
     "doc_spans_anchored": q_doc_spans_anchored,
+    "media_frames": q_media_frames,
     "exact_dedup_docs": q_exact_dedup_docs,
     "dup_group_stats": q_dup_group_stats,
     "token_count_docs": q_token_count_docs,
@@ -4320,6 +4354,7 @@ ORACLES = {
     "events_user_hll": SQL_EVENTS_USER_HLL,
     "top_terms_mg": SQL_TOP_TERMS,
     "price_quantiles_sketch": SQL_PRICE_QUANTILES_SKETCH,
+    "media_frames": SQL_MEDIA_FRAMES,
     # dedup_clusters_docs / doc_spans: not SQL-expressible
     # (content-addressed ids, spans drift) → rows-only checks; each is
     # gated by a pytest oracle (golden tables or a second

@@ -1,17 +1,16 @@
 """Multimodal columns: images/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-Two decode tiers:
-
-- **Real decoders, dependency-free formats**: uncompressed 24-bit BMP
-  (numpy parser/encoder in this module — full pixel roundtrip) and PCM
-  WAV (stdlib ``wave``). ``ImageDecoder``/``WavDecoder`` are actual
-  decode → feature-extract stages: pixels/samples come from the payload
-  BYTES, with downsampled thumbnails and signal stats.
-- **Stub for compressed codecs** (JPEG/PNG/H.264 — no codec libraries in
-  this container): ``FakeImageDecoder`` derives a deterministic tensor
-  from the payload so the Ray plumbing for those types is still exercised;
-  swap ``_decode`` for PIL/ffmpeg on a cluster that has them.
+All decoders here are REAL and dependency-free: uncompressed 24-bit BMP
+(numpy parser/encoder in this module — full pixel roundtrip), PCM WAV
+(stdlib ``wave``), and a VIDB frame container for video (length-prefixed
+BMP frame sequence). ``ImageDecoder``/``WavDecoder``/``FrameSampler``
+are actual decode → feature-extract stages: pixels/samples come from the
+payload BYTES, with downsampled thumbnails and signal stats. On a
+cluster with codec libraries, swap the per-payload parse (decode_bmp /
+decode_wav / decode_vidb) for PIL/ffmpeg — the Ray plumbing (actor
+pools, small batches, per-row error isolation, wide-column drops) is
+format-independent.
 
 Batch-size guidance (SURVEY.md §4.2 / ray_guide "Memory-aware"): with
 multi-MB payloads use small ``batch_size`` (e.g. 32–128) so
@@ -30,7 +29,7 @@ import pyarrow as pa
 # name on the worker at call time (ModuleNotFoundError under a foreign-cwd
 # driver — see the verify skill)
 from sick_ray.shuffle import first_mask, mix64, segment_pairs, sort_index
-from sick_ray.xxh import xxh64, xxh64_strings
+from sick_ray.xxh import xxh64_strings
 
 IMAGE_SCHEMA = pa.schema(
     [
@@ -43,96 +42,145 @@ IMAGE_SCHEMA = pa.schema(
 )
 
 
-class FakeImageDecoder:
-    """Actor-pool stage: binary payload → decoded feature row.
+# ------------------------------------------- VIDB video frame container
+#
+# Dependency-free "video": magic + frame count + nominal rate + u32le
+# frame lengths + concatenated 24-bit BMP frames. A stand-in for a real
+# container (MP4/MKV) with the same pipeline shape: parse the container,
+# sample k frames, decode each frame, feature-extract. All integer-exact
+# so the independent scalar golden (scripts/make_media_golden.py)
+# reproduces every output bit-for-bit.
 
-    Real pipelines put codec/model initialization here (once per actor).
-    The stub derives an 8×8 deterministic grayscale "thumbnail" + stats
-    from the payload bytes via xxh64 seeding — stable across runs/nodes.
-    """
+VIDB_MAGIC = b"VIDB"
 
-    THUMB = 8
 
-    def __init__(self, strict: bool = False):
-        # strict=True models the real-library path: refuse to fake-decode
-        self.strict = strict
+def encode_vidb(frames: list[bytes], rate: int = 24) -> bytes:
+    """BMP frame payloads → VIDB container bytes."""
+    head = (VIDB_MAGIC + len(frames).to_bytes(4, "little")
+            + int(rate).to_bytes(4, "little"))
+    lens = b"".join(len(f).to_bytes(4, "little") for f in frames)
+    return head + lens + b"".join(frames)
 
-    def _decode(self, payload: bytes) -> np.ndarray:
-        if self.strict:
-            raise NotImplementedError(
-                "image decode requires a codec library not present in this "
-                "environment; FakeImageDecoder(strict=False) provides the "
-                "deterministic stand-in"
-            )
-        seed = xxh64(payload or b"")
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, size=(self.THUMB, self.THUMB), dtype=np.uint8)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column("payload").to_pylist()
-        thumbs = np.stack([self._decode(p) for p in payloads]) if payloads else (
-            np.empty((0, self.THUMB, self.THUMB), dtype=np.uint8)
-        )
-        flat = thumbs.reshape(len(payloads), -1)
-        mean = flat.mean(axis=1) if len(payloads) else np.empty(0)
-        std = flat.std(axis=1) if len(payloads) else np.empty(0)
-        out = batch.drop_columns(["payload"])          # wide column dropped ASAP
-        out = out.append_column(
-            "thumb",
-            pa.FixedSizeListArray.from_arrays(
-                pa.array(flat.reshape(-1), type=pa.uint8()), self.THUMB * self.THUMB
-            ),
-        )
-        out = out.append_column("pix_mean", pa.array(np.round(mean, 4), type=pa.float64()))
-        out = out.append_column("pix_std", pa.array(np.round(std, 4), type=pa.float64()))
-        return out
+def decode_vidb(payload: bytes) -> tuple[int, list[bytes]]:
+    """VIDB container bytes → (rate, frame payload list)."""
+    if len(payload) < 12 or payload[:4] != VIDB_MAGIC:
+        raise ValueError("not a VIDB payload")
+    n = int.from_bytes(payload[4:8], "little")
+    rate = int.from_bytes(payload[8:12], "little")
+    if n <= 0 or n > 1_000_000:
+        raise ValueError(f"bad frame count {n}")
+    off = 12 + 4 * n
+    if len(payload) < off:
+        raise ValueError("truncated VIDB header")
+    lens = np.frombuffer(payload, dtype="<u4", count=n, offset=12).astype(np.int64)
+    ends = off + np.cumsum(lens)
+    if int(ends[-1]) > len(payload):
+        raise ValueError("truncated VIDB frames")
+    starts = ends - lens
+    return rate, [payload[int(s):int(e)] for s, e in zip(starts, ends)]
 
 
 class FrameSampler:
-    """Actor-pool stage stub for video: emits ``n_frames`` evenly spaced
-    deterministic frame records per payload (flat_map-shaped output)."""
+    """Actor-pool stage: REAL video frame sampling — parse the VIDB
+    container, decode ``n_frames`` evenly spaced BMP frames (index
+    j·F // k, k = min(n_frames, F)), and emit one feature row per
+    sampled frame (flat_map-shaped output: media_id, frame,
+    total_frames, thumb_xxh, pix_mean, decode_err).
+
+    Per-row error isolation at BOTH levels — a corrupt container yields
+    one (frame = -1) error row; a corrupt individual frame yields an
+    error row for that frame only, the video's other frames still
+    decode. ``thumb_xxh`` is the batch-path xxh64 of the integer-exact
+    8×8 thumbnail bytes, so the scalar golden reproduces it exactly."""
+
+    THUMB = 8
 
     def __init__(self, n_frames: int = 4):
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         ids = batch.column("media_id").to_numpy(zero_copy_only=False)
-        base = xxh64_strings(batch.column("payload"))      # one batch pass
-        f = np.arange(self.n_frames, dtype=np.uint64)
-        fp = (base[:, None] ^ (f * np.uint64(0x9E3779B185EBCA87))[None, :]) \
-            & np.uint64(0x7FFFFFFFFFFFFFFF)
-        return pa.table(
-            {
-                "media_id": pa.array(np.repeat(ids, self.n_frames), type=pa.int64()),
-                "frame": pa.array(np.tile(f.astype(np.int32), n), type=pa.int32()),
-                "frame_fp": pa.array(fp.reshape(-1).view(np.int64), type=pa.int64()),
-            }
-        )
+        payloads = batch.column("payload").to_pylist()
+        o_id, o_fr, o_tot, o_mean, o_err = [], [], [], [], []
+        thumb_bytes: list = []
+        for mid, p in zip(ids, payloads):
+            try:
+                _rate, frames = decode_vidb(p)
+            except ValueError as ex:
+                o_id.append(int(mid)); o_fr.append(-1); o_tot.append(0)
+                o_mean.append(None); o_err.append(str(ex))
+                thumb_bytes.append(None)
+                continue
+            total = len(frames)
+            k = min(self.n_frames, total)
+            for j in range(k):
+                idx = (j * total) // k
+                o_id.append(int(mid)); o_fr.append(idx); o_tot.append(total)
+                try:
+                    th = _thumbnail(decode_bmp(frames[idx]), self.THUMB)
+                    s = int(th.sum(dtype=np.int64))     # exact-int → 1 float op
+                    o_mean.append(round(s / th.size, 4))
+                    thumb_bytes.append(th.tobytes())
+                    o_err.append(None)
+                except (ValueError, IndexError) as ex:
+                    o_mean.append(None); thumb_bytes.append(None)
+                    o_err.append(str(ex))
+            del frames                                  # wide slices dropped ASAP
+        ok = np.array([t is not None for t in thumb_bytes], dtype=bool)
+        xxh = np.zeros(len(thumb_bytes), dtype=np.uint64)
+        if ok.any():                                    # one vectorized batch pass
+            xxh[ok] = xxh64_strings(
+                pa.array([t for t in thumb_bytes if t is not None],
+                         type=pa.binary()))
+        return pa.table({
+            "media_id": pa.array(o_id, type=pa.int64()),
+            "frame": pa.array(o_fr, type=pa.int32()),
+            "total_frames": pa.array(o_tot, type=pa.int32()),
+            "thumb_xxh": pa.array(
+                [int(np.int64(v)) if k_ else None
+                 for v, k_ in zip(xxh.view(np.int64), ok)], type=pa.int64()),
+            "pix_mean": pa.array(o_mean, type=pa.float64()),
+            "decode_err": pa.array(o_err, type=pa.string()),
+        })
 
 
-def synth_media(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic fake media table matching IMAGE_SCHEMA (tests/bench)."""
+def synth_media_video(n: int, seed: int = 13) -> pa.Table:
+    """Deterministic VIDB fixture: gradient/block BMP frames, 3–10 frames
+    per video, with ~2% corrupt containers AND ~2% videos carrying one
+    corrupt frame (both error-isolation levels covered)."""
     rng = np.random.default_rng(seed)
-    payloads = [
-        bytes(rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8))
-        for _ in range(n)
-    ]
-    return pa.table(
-        {
-            "media_id": pa.array(np.arange(n, dtype=np.int64)),
-            "payload": pa.array(payloads, type=pa.binary()),
-            "media_type": pa.array(["image/fake"] * n),
-            "width": pa.array(rng.integers(100, 2000, n).astype(np.int32)),
-            "height": pa.array(rng.integers(100, 2000, n).astype(np.int32)),
-        }
-    )
+    payloads = []
+    for i in range(n):
+        total = int(rng.integers(3, 11))
+        h = int(rng.integers(8, 25))
+        w = int(rng.integers(8, 25))
+        frames = []
+        for f in range(total):
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = (((yy + f * 3) * 255) // max(h - 1, 1)).astype(np.int64) % 256
+            px = np.stack([base, (xx * 9 + f) % 256,
+                           np.full_like(base, (i * 7 + f) % 256)], axis=2)
+            noise = rng.integers(0, 32, size=px.shape)
+            frames.append(encode_bmp(((px + noise) % 256).astype(np.uint8)))
+        if i % 53 == 5:
+            frames[total // 2] = frames[total // 2][:20]   # corrupt ONE frame
+        payloads.append(encode_vidb(frames, rate=24))
+    for i in rng.choice(n, size=max(1, n // 50), replace=False):
+        payloads[i] = payloads[i][:9]                      # corrupt container
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "media_type": pa.array(["video/vidb"] * n),
+    })
 
 
-def decode_images(media_ds, concurrency: int = 4, batch_size: int = 64):
+def sample_frames(media_ds, n_frames: int = 4, concurrency: int = 4,
+                  batch_size: int = 32):
     """The canonical wiring: actor pool, small batches for wide rows."""
     return media_ds.map_batches(
-        FakeImageDecoder,
+        FrameSampler,
+        fn_constructor_args=(n_frames,),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),

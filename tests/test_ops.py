@@ -96,41 +96,55 @@ def test_knn_lsh_recall(ray_session):
     assert recall >= 0.8, f"LSH knn recall {recall}"
 
 
-def test_multimodal_decode_plumbing(ray_session):
+def test_vidb_roundtrip():
+    from sick_ray.stages.multimodal import (decode_bmp, decode_vidb,
+                                            encode_bmp, encode_vidb)
+
+    rng = np.random.default_rng(3)
+    frames = [encode_bmp(rng.integers(0, 256, (9, 11, 3)).astype(np.uint8))
+              for _ in range(5)]
+    rate, back = decode_vidb(encode_vidb(frames, rate=30))
+    assert rate == 30 and back == frames
+    assert (decode_bmp(back[2]) == decode_bmp(frames[2])).all()
+    with pytest.raises(ValueError):
+        decode_vidb(b"nope")
+    with pytest.raises(ValueError):
+        decode_vidb(encode_vidb(frames)[:20])
+
+
+def test_frame_sampler_real(ray_session):
+    """Real frame sampling: evenly spaced indices, per-frame decode,
+    BOTH error-isolation levels, deterministic across parallelism."""
     import ray.data as rd
 
-    from sick_ray.stages.multimodal import FakeImageDecoder, decode_images, synth_media
+    from sick_ray.stages.multimodal import sample_frames, synth_media_video
 
-    media = synth_media(50, seed=7)
-    out = decode_images(rd.from_arrow(media), concurrency=2, batch_size=16).to_pandas()
-    assert len(out) == 50
+    media = synth_media_video(120, seed=13)
+    out = sample_frames(rd.from_arrow(media), n_frames=4, concurrency=2,
+                        batch_size=16).to_pandas()
     assert "payload" not in out.columns            # wide column dropped
-    assert set(["media_id", "thumb", "pix_mean", "pix_std"]) <= set(out.columns)
-    # deterministic across runs
-    out2 = decode_images(rd.from_arrow(media), concurrency=1, batch_size=50).to_pandas()
-    a = out.sort_values("media_id")["pix_mean"].to_numpy()
-    b = out2.sort_values("media_id")["pix_mean"].to_numpy()
-    assert (a == b).all()
-    # strict mode models the missing-codec path
-    dec = FakeImageDecoder(strict=True)
-    with pytest.raises(NotImplementedError):
-        dec._decode(b"xx")
-
-
-def test_frame_sampler(ray_session):
-    import ray.data as rd
-
-    from sick_ray.stages.multimodal import FrameSampler, synth_media
-
-    media = synth_media(10, seed=7)
-    frames = (
-        rd.from_arrow(media)
-        .map_batches(FrameSampler, fn_constructor_args=(4,), batch_format="pyarrow",
-                     concurrency=1, batch_size=5)
-        .to_pandas()
-    )
-    assert len(frames) == 40
-    assert frames.groupby("media_id")["frame"].nunique().eq(4).all()
+    ok = out[out["decode_err"].isna()]
+    assert len(ok) > 300
+    # evenly spaced deterministic indices: frame == (j * total) // k
+    for mid, g in ok.groupby("media_id"):
+        tot = int(g["total_frames"].iloc[0])
+        k = min(4, tot)
+        expect = sorted({(j * tot) // k for j in range(k)})
+        assert sorted(g["frame"]) == expect or len(g) < k  # frame-level fails drop rows
+    # container-level corruption: frame == -1 rows exist
+    bad_container = out[(out["frame"] == -1) & out["decode_err"].notna()]
+    assert len(bad_container) >= 1
+    # frame-level corruption: a video with BOTH good and failed frames
+    per_vid = out.groupby("media_id")["decode_err"].agg(
+        lambda s: (s.isna().any(), s.notna().any()))
+    assert any(a and b for a, b in per_vid)
+    # deterministic across batching/concurrency
+    out2 = sample_frames(rd.from_arrow(media), n_frames=4, concurrency=1,
+                         batch_size=120).to_pandas()
+    cols = ["media_id", "frame", "total_frames", "thumb_xxh", "pix_mean"]
+    a = out[cols].sort_values(["media_id", "frame"]).reset_index(drop=True)
+    b = out2[cols].sort_values(["media_id", "frame"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_lang_id_accuracy():
