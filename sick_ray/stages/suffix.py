@@ -371,7 +371,8 @@ def _finalize_url_lookup(tbl):
 def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
                     n_docs_hint: int | None = None,
                     url_list: list[str] | None = None,
-                    include_local: bool = True):
+                    include_local: bool = True,
+                    local_pass: str = "scope"):
     """Dataset (url, text, ...) → Dataset (url, start, end) of duplicated
     spans ≥ cfg.min_span bytes. Partition-local suffix arrays + the global
     anchored groupby, merged per doc; spans travel as narrow (uhash,
@@ -398,10 +399,23 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
     ``include_local=False`` skips the local pass entirely: the output is
     then exactly the anchored-span set — fully deterministic and
     conformance-checkable against an independent scalar implementation
-    (scripts/make_spans_golden.py; the doc_spans_anchored oracle)."""
+    (scripts/make_spans_golden.py; the doc_spans_anchored oracle).
+
+    ``local_pass="colocate"``: a DETERMINISTIC local pass for tests and
+    golden regeneration — full-text rows are hash-shuffled on
+    xxh64(url) into ``cfg.num_partitions`` groups, sorted by uhash
+    within each group, and scanned in fixed SA_BATCH_DOCS chunks, so
+    the local dedup scope is a pure function of the corpus and the
+    config (identical spans at ANY parallelism / input partitioning).
+    This buys exactness with the full-text co-location shuffle the
+    production default ("scope") exists to avoid — at 100 TB that
+    shuffle moves the entire corpus once, so it stays a
+    conformance-mode option, not the default."""
     import ray
 
     cfg = cfg or DedupConfig()
+    if local_pass not in ("scope", "colocate"):
+        raise ValueError(f"unknown local_pass mode {local_pass!r}")
     docs = docs_ds.select_columns(["url", "text"])
     # the SA consumer needs enough blocks to parallelize its CPU-heavy
     # tasks; only repartition (a full-text shuffle) when the source reads
@@ -415,7 +429,26 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
         # rather than paying a full-text repartition shuffle
         enough = True
     local = None
-    if include_local:
+    if include_local and local_pass == "colocate":
+        finder = make_sa_span_finder(cfg)
+
+        def add_uhash(batch: pa.Table) -> pa.Table:
+            uh = xxh64_strings(batch.column("url")).view(np.int64)
+            return batch.append_column("uhash", pa.array(uh, type=pa.int64()))
+
+        def colocated_finder(part: pa.Table) -> pa.Table:
+            uh = part.column("uhash").to_numpy(zero_copy_only=False)
+            part = part.take(pa.array(np.argsort(uh, kind="stable")))
+            part = part.drop_columns(["uhash"])
+            outs = [finder(part.slice(i, SA_BATCH_DOCS))
+                    for i in range(0, max(part.num_rows, 1), SA_BATCH_DOCS)]
+            return pa.concat_tables(outs)
+
+        local = grouped_apply(
+            docs.map_batches(add_uhash, batch_format="pyarrow"),
+            ["uhash"], colocated_finder, num_partitions=cfg.num_partitions,
+        ).materialize()
+    elif include_local:
         sa_docs = docs if enough else docs.repartition(min_blocks)
         # materialize the (small) SA output before the union: the SA pass
         # is memory-bandwidth-bound and measurably degrades every

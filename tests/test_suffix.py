@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
@@ -121,3 +122,34 @@ def test_anchored_spans_match_scalar_golden_sf01(ray_session):
         outs.append(got)
     pd.testing.assert_frame_equal(outs[0], golden, check_dtype=False)
     pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+
+
+def test_colocate_local_pass_deterministic(ray_session, small_corpus):
+    """local_pass="colocate": identical span SETS (not just counts) at
+    any input partitioning — the conformance mode VERDICT r4 item 7
+    asked for. The production default ("scope") documents ~0.1% local
+    span drift under Ray task bundling; colocate removes it by paying a
+    deterministic full-text co-location shuffle."""
+    import os as _os
+
+    import ray.data as rd
+
+    from sick_ray.stages.suffix import duplicate_spans
+
+    path = _os.path.join(small_corpus, "webtext.parquet")
+    cfg = DedupConfig()
+    outs = []
+    for nparts in (3, 17):
+        docs = rd.read_parquet(path).repartition(nparts)
+        spans = duplicate_spans(docs, cfg, local_pass="colocate").to_pandas()
+        outs.append(spans.sort_values(["url", "start", "end"])
+                    .reset_index(drop=True))
+    assert len(outs[0]) > 0
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # and the colocate set covers at least the anchored (global) set's
+    # BYTES (row counts can shrink: local spans merge overlapping global
+    # spans into fewer, longer rows)
+    anchored = duplicate_spans(
+        rd.read_parquet(path), cfg, include_local=False).to_pandas()
+    cov = lambda df: int((df["end"] - df["start"]).sum())  # noqa: E731
+    assert cov(outs[0]) >= cov(anchored)
