@@ -124,6 +124,7 @@ def child(ncpu: int, n_docs: int, temp_dir: str | None = None) -> None:
         "docs_per_sec": round(n_docs / wall, 1),
         "exact_sec": round(full.timings["exact_sec"], 1),
         "near_sec": round(full.timings["near_sec"], 1),
+        "near_walls": full.timings.get("near_walls", {}),
         "spans_sec": round(full.timings["spans_sec"], 1),
         "n_edges": full.dedup.n_edges,
         "n_canonical": full.dedup.n_canonical,

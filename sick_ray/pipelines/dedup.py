@@ -169,12 +169,19 @@ def _exact_phase(input_ds, cfg, runner, cfg_fp, out_dir):
     return meta, fingerprints, canonical, n_docs, n_canonical
 
 
-def _near_phase(meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir):
+def _near_phase(meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir,
+                walls: dict | None = None):
     """Stage 2: LSH banding → verified edges → connected components →
-    cluster attach-back. Returns (edges, labels, clusters, n_edges)."""
+    cluster attach-back. Returns (edges, labels, clusters, n_edges).
+    ``walls``: optional dict filled with per-sub-stage wall seconds
+    (bands/prepass/pairs from candidate_edges, distinct, components) —
+    the 10×-regime profiling hook (bench_10x.py)."""
+    import time as _time
+
     import ray
     import ray.data as rd
 
+    walls = walls if walls is not None else {}
     edge_counters: dict = {}
 
     def compute_edges():
@@ -184,31 +191,51 @@ def _near_phase(meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir):
                           "v": pa.array([], type=pa.int64())})
             )
         sig_ds = canonical.select_columns(["fp64", "sig", "band_hash"])
-        edges = candidate_edges(sig_ds, cfg, counters=edge_counters)
+        # broadcast regime: FUSE signature verification into pair emission
+        # (candidate_edges verify_ref) so the distinct shuffle and the raw
+        # pair materialization only ever carry verified pairs — one fewer
+        # full pass over the edge table, same final set (verify∘distinct
+        # commutes). Join regime keeps the staged order: the two-hash-join
+        # verify needs the distinct table as its probe side.
+        use_bcast = (cfg.verify == "signature"
+                     and n_canonical <= BROADCAST_SIG_LIMIT)
+        ref = (make_sig_lookup_ref(
+                   canonical.select_columns(["fp64", "sig"]), cfg.num_perm)
+               if use_bcast else None)
+        edges = candidate_edges(
+            sig_ds, cfg, counters=edge_counters,
+            verify_ref=ref,
+            verify_threshold=cfg.verify_threshold if use_bcast else None,
+            walls=walls,
+        )
         edges = distinct_edges(edges, cfg)
-        if cfg.verify == "signature":
-            if n_canonical <= BROADCAST_SIG_LIMIT:
-                ref = make_sig_lookup_ref(
-                    canonical.select_columns(["fp64", "sig"]), cfg.num_perm
-                )
-                edges = verify_edges_broadcast(edges, ref, cfg.verify_threshold)
-            else:
-                edges = verify_edges_join(
-                    edges,
-                    canonical.select_columns(["fp64", "sig"]),
-                    cfg.verify_threshold,
-                    cfg.num_partitions,
-                )
+        if cfg.verify == "signature" and not use_bcast:
+            edges = verify_edges_join(
+                edges,
+                canonical.select_columns(["fp64", "sig"]),
+                cfg.verify_threshold,
+                cfg.num_partitions,
+            )
         return edges
 
+    t = _time.time()
     edges = runner.run(
         "edges", cfg_fp, compute_edges, counters_fn=lambda: dict(edge_counters)
     )
     if out_dir is None:
         edges = edges.materialize()
     n_edges = edges.count()
+    # distinct shuffle + (join-regime) verify: everything after the pair
+    # materialization inside compute_edges
+    walls["distinct_sec"] = round(
+        _time.time() - t
+        - sum(walls.get(k, 0) for k in ("bands_sec", "prepass_sec", "pairs_sec")),
+        2,
+    )
 
-    labels = connected_components(edges, cfg)
+    t = _time.time()
+    labels = connected_components(edges, cfg).materialize()
+    walls["components_sec"] = round(_time.time() - t, 2)
 
     # ---- attach back: every url gets cluster_id = label(fp64) or own fp ----
     # Small/medium runs broadcast the label pairs as a sorted-array lookup
@@ -378,11 +405,13 @@ def run_full(
 
     def near_branch():
         t = _time.time()
+        near_walls: dict = {}
         _, labels, clusters, n_edges = _near_phase(
-            meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir
+            meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir,
+            walls=near_walls,
         )
         n_cluster_rows = clusters.count()
-        return labels, clusters, n_edges, n_cluster_rows, _time.time() - t
+        return labels, clusters, n_edges, n_cluster_rows, _time.time() - t, near_walls
 
     def spans_branch():
         t = _time.time()
@@ -412,7 +441,8 @@ def run_full(
     with ThreadPoolExecutor(max_workers=2) as pool:
         near_f = pool.submit(near_branch)
         spans_f = pool.submit(spans_branch)
-        labels, clusters, n_edges, n_cluster_rows, near_sec = near_f.result()
+        (labels, clusters, n_edges, n_cluster_rows, near_sec,
+         near_walls) = near_f.result()
         spans, n_spans, spans_sec = spans_f.result()
 
     fingerprints = fingerprints.map_batches(_to_uint64("fp64"), batch_format="pyarrow")
@@ -436,6 +466,7 @@ def run_full(
             "spans_sec": round(spans_sec, 3),
             "total_sec": round(_time.time() - t0, 3),
             "n_cluster_rows": n_cluster_rows,
+            "near_walls": near_walls,
         },
     )
 

@@ -212,7 +212,8 @@ def make_salter(hot_sorted: np.ndarray, fanout: int):
 
 # ----------------------------------------------------------- edge emission
 
-def make_pair_emitter(cfg: DedupConfig):
+def make_pair_emitter(cfg: DedupConfig, verify_ref=None,
+                      verify_threshold: float | None = None):
     """Per-partition vectorized candidate-pair builder over ALL buckets at
     once (shuffle.segment_pairs): every within-bucket pair is emitted up to
     ``max_pairs_per_bucket``; oversized buckets fall back to star + chain
@@ -220,6 +221,14 @@ def make_pair_emitter(cfg: DedupConfig):
     what makes signature verification recall-safe — with star edges two
     similar members were never compared when the bucket's first member was
     dissimilar to both (round-1 hub failure, ADVICE.md).
+
+    ``verify_ref``: optional broadcast signature lookup — when set, each
+    emitted pair is signature-verified INLINE (est Jaccard ≥
+    ``verify_threshold``) before it ever leaves the emitter, so the
+    downstream distinct-edges shuffle and the raw materialization carry
+    only verified pairs. verify∘distinct == distinct∘verify (a per-pair
+    predicate), so the final edge set is identical to the staged order;
+    truncation counters stay pre-verify (they describe emission caps).
 
     Input rows: (bkt, sbkt, fp64, hot). Output: (u, v, bkt, kind) where
     kind 0 = candidate edge, 1 = sub-bucket representative (hot only),
@@ -250,6 +259,20 @@ def make_pair_emitter(cfg: DedupConfig):
         u = f[i_idx]
         v = f[j_idx]
         e_bkt = bk[i_idx]
+        if verify_ref is not None and len(u):
+            import ray
+
+            fp_s, mat = ray.get(verify_ref)       # zero-copy plasma view
+            if len(fp_s):
+                hi = len(fp_s) - 1
+                iu = np.minimum(np.searchsorted(fp_s, u), hi)
+                iv = np.minimum(np.searchsorted(fp_s, v), hi)
+                ok = (fp_s[iu] == u) & (fp_s[iv] == v)
+                est = (mat[iu] == mat[iv]).mean(axis=1)
+                ok &= est >= verify_threshold
+            else:
+                ok = np.zeros(len(u), dtype=bool)
+            u, v, e_bkt = u[ok], v[ok], e_bkt[ok]
         # representatives: first row of each HOT sub-bucket
         fm = first_mask(sb)
         rep = fm & ht
@@ -305,7 +328,9 @@ def _distinct_pairs_partition(part: pa.Table) -> pa.Table:
     )
 
 
-def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None):
+def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None,
+                    verify_ref=None, verify_threshold: float | None = None,
+                    walls: dict | None = None):
     """Signatures Dataset (fp64, band_hash, …) → candidate edge Dataset
     (u:int64, v:int64). One narrow-row shuffle for the count pre-pass, one
     for the bucket groups, one tiny one for hot-bucket representatives.
@@ -314,10 +339,25 @@ def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None):
     pre-pass and the bucket shuffle so the upstream minhash chain is not
     recomputed.
 
+    ``verify_ref``/``verify_threshold``: when the caller is in the
+    broadcast-verify regime, pass the signature lookup here to FUSE
+    verification into pair emission (see make_pair_emitter) — candidate
+    pairs below the threshold die inside the emitter instead of riding
+    the raw materialization + distinct shuffle and only then being
+    filtered; hot-bucket representative chain edges are verified by the
+    same broadcast filter on their own (tiny) table. Edge set identical
+    to the staged order.
+
     ``counters``: optional dict filled in place with the skew-cap metrics
     (truncated_pairs / truncated_buckets / hot_buckets) — no silent caps:
     callers surface these into the stage manifest."""
+    import time as _time
+
+    walls = walls if walls is not None else {}
+    t = _time.time()
     band_rows = sig_ds.map_batches(explode_bands, batch_format="pyarrow", batch_size=None).materialize()
+    walls["bands_sec"] = round(_time.time() - t, 2)
+    t = _time.time()
     if cfg.dup_bucket_prefilter:
         # one count pre-pass feeds BOTH skew detection and the
         # singleton-bucket Bloom prefilter: only ≥2-member buckets can
@@ -336,10 +376,15 @@ def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None):
             band_rows = band_rows.limit(0)
     else:
         hot = hot_buckets(band_rows, cfg)
+    walls["prepass_sec"] = round(_time.time() - t, 2)
+    t = _time.time()
     salted = band_rows.map_batches(make_salter(hot, cfg.salt_fanout), batch_format="pyarrow")
     raw = grouped_apply(
-        salted, ["sbkt"], make_pair_emitter(cfg), num_partitions=cfg.num_partitions
+        salted, ["sbkt"],
+        make_pair_emitter(cfg, verify_ref, verify_threshold),
+        num_partitions=cfg.num_partitions,
     ).materialize()
+    walls["pairs_sec"] = round(_time.time() - t, 2)
     raw = collect_counter_rows(raw, counters, "truncated_pairs", "truncated_buckets")
     if counters is not None:
         counters["hot_buckets"] = int(len(hot))
@@ -348,6 +393,9 @@ def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None):
     rep_edges = grouped_apply(
         reps, ["bkt"], _link_reps_partition, num_partitions=cfg.num_partitions
     )
+    if verify_ref is not None:
+        rep_edges = verify_edges_broadcast(rep_edges, verify_ref,
+                                           verify_threshold)
     return edges.union(rep_edges)
 
 
