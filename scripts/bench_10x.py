@@ -175,7 +175,8 @@ def parent() -> None:
         "runs": {str(k): v for k, v in runs.items()},
         "scaling_efficiency_8_32": round(eff_8_32, 3),
     }
-    dst = os.path.join(REPO, "BENCH", "scaling_r4_8m.json")
+    dst = os.path.join(
+        REPO, "BENCH", os.environ.get("GRAFT_10X_OUT", "scaling_r5_8m.json"))
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
