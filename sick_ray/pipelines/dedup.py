@@ -50,6 +50,11 @@ from sick_ray.state import progress
 # at this limit, comfortably inside a production node's store.
 BROADCAST_SIG_LIMIT = 20_000_000
 
+# above this many canonical docs the spans branch pins its semi-selected
+# full-text corpus to zstd parquet (storage layer) instead of a plasma
+# materialize — see spans_branch in run_full for the rationale
+SPANS_PIN_PARQUET_DOCS = 1_000_000
+
 
 @dataclasses.dataclass
 class DedupResult:
@@ -425,15 +430,39 @@ def run_full(
         else:
             docs = input_ds.select_columns(["url", "text"])
         canon_keys = canonical.select_columns(["url"]).materialize()
-        # materialize: duplicate_spans fans out to three consumers, each of
-        # which would re-execute a lazy semi-join input
-        canon_docs = semi_select(
+        # duplicate_spans fans out to three consumers, each of which would
+        # re-execute a lazy semi-join input — the intermediate must be
+        # pinned. HOW it is pinned is a scale decision: plasma
+        # materialize keeps the FULL-TEXT corpus live in the object store
+        # for the whole spans phase (uncompressed Arrow — at 8M docs that
+        # is ~16 GB of standing spill, and the measured peak-disk driver
+        # of the 32-CPU 10× run); above SPANS_PIN_PARQUET_DOCS the
+        # corpus-sized intermediate goes to zstd parquet instead and the
+        # three consumers re-read it from storage — the layout a
+        # 100-TB run has no choice about (a 10^12-doc corpus never fits
+        # the object store; intermediates of corpus size belong to the
+        # storage layer, plasma holds only derived narrow state).
+        canon_docs_sel = semi_select(
             docs, canon_keys, on="url",
             num_partitions=cfg.num_partitions, n_keys_hint=n_canonical,
-        ).materialize()
-        spans = duplicate_spans(
-            canon_docs, cfg, n_docs_hint=n_canonical
-        ).materialize()
+        )
+        spans_tmp = None
+        if n_canonical > SPANS_PIN_PARQUET_DOCS:
+            import shutil as _shutil
+            import tempfile as _tempfile
+
+            spans_tmp = _tempfile.mkdtemp(prefix="sick_ray_spanscorpus_")
+            canon_docs_sel.write_parquet(spans_tmp, compression="zstd")
+            canon_docs = rd.read_parquet(spans_tmp, columns=["url", "text"])
+        else:
+            canon_docs = canon_docs_sel.materialize()
+        try:
+            spans = duplicate_spans(
+                canon_docs, cfg, n_docs_hint=n_canonical
+            ).materialize()
+        finally:
+            if spans_tmp is not None:
+                _shutil.rmtree(spans_tmp, ignore_errors=True)
         return spans, spans.count(), _time.time() - t
 
     # two driver threads, each driving its own streaming execution; Ray's
