@@ -213,7 +213,8 @@ def _near_phase(meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir,
             verify_threshold=cfg.verify_threshold if use_bcast else None,
             walls=walls,
         )
-        edges = distinct_edges(edges, cfg)
+        edges = distinct_edges(edges, cfg,
+                               n_rows_hint=edge_counters.get("est_pairs"))
         if cfg.verify == "signature" and not use_bcast:
             edges = verify_edges_join(
                 edges,

@@ -41,6 +41,21 @@ EMPTY_EDGES = pa.table(
 # (~≤40 even at 2^64 nodes), so hitting this indicates a bug, not scale
 MAX_STAR_ROUNDS = 64
 
+# target bytes per star-round shuffle partition. The edge table is 16 B/row
+# and usually ORDERS OF MAGNITUDE smaller than the corpus the pipeline's
+# num_partitions was sized for (8M docs → 512 corpus partitions but only
+# ~283 MB of edges); running ~20 round-shuffles at 512 partitions each is
+# pure scheduling overhead (measured: components 223 s of the 8M/32-CPU
+# near phase). Sizing rounds by edge bytes keeps partitions dense; at
+# 10^12-edge scale the cap cfg.num_partitions still applies.
+STAR_PARTITION_BYTES = 64 << 20
+
+
+def star_partitions(n_edges: int, cfg) -> int:
+    """Edge-count-aware partition count for the star-round shuffles."""
+    want = (n_edges * 16) // STAR_PARTITION_BYTES + 1
+    return int(min(cfg.num_partitions, max(8, want)))
+
 
 class UnionFind:
     """Min-root union-find over int64 node ids (python ints internally)."""
@@ -193,10 +208,12 @@ def _edge_stats(edges_ds) -> tuple[int, int]:
     return n, int(acc)
 
 
-def star_components(edges_ds, cfg):
+def star_components(edges_ds, cfg, n_edges_hint: int | None = None):
     """Distributed alternating-star connected components. Returns a Dataset
     (fp64, cluster_id) labeling every non-root node with its component min;
     roots (cluster_id == own fp64) are implicit, as are singletons."""
+    n_parts = (star_partitions(n_edges_hint, cfg)
+               if n_edges_hint is not None else cfg.num_partitions)
     cur = edges_ds
     prev_stats = None
     for _ in range(MAX_STAR_ROUNDS):
@@ -210,13 +227,13 @@ def star_components(edges_ds, cfg):
             cur.map_batches(_emit_both_directions, batch_format="pyarrow", batch_size=None),
             ["u"],
             _large_star_partition,
-            num_partitions=cfg.num_partitions,
+            num_partitions=n_parts,
         ).materialize()
         ss = grouped_apply(
             ls.map_batches(_orient_max_min, batch_format="pyarrow", batch_size=None),
             ["u"],
             _small_star_partition,
-            num_partitions=cfg.num_partitions,
+            num_partitions=n_parts,
         ).materialize()
         stats = _edge_stats(ss)
         cur = ss
@@ -242,7 +259,7 @@ def connected_components(edges_ds, cfg):
 
     n_edges = edges_ds.count()
     if n_edges > cfg.driver_uf_max_edges:
-        return star_components(edges_ds, cfg)
+        return star_components(edges_ds, cfg, n_edges_hint=n_edges)
     uf = UnionFind()
     for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
         uf.add_pairs(

@@ -116,7 +116,9 @@ def hot_buckets(band_rows, cfg: DedupConfig) -> np.ndarray:
 
 def dup_bucket_index(band_rows, cfg: DedupConfig):
     """One count pre-pass shared by skew detection AND the singleton
-    prefilter: returns (hot_sorted, bloom_ref, bloom_k, n_dup_buckets).
+    prefilter: returns (hot_sorted, bloom_ref, bloom_k, n_dup_buckets,
+    est_pairs — an exact upper bound on emitted candidate-pair rows used
+    to size the downstream narrow-edge shuffles by data volume).
 
     ``bloom_ref`` is the in-cluster-assembled Bloom bitmap of every
     bucket with ≥2 members — the only buckets that can emit a pair.
@@ -138,6 +140,24 @@ def dup_bucket_index(band_rows, cfg: DedupConfig):
     ).materialize()
     n_dup = dup_counts.count()
 
+    # exact upper bound on emitted pair rows (per-bucket all-pairs capped
+    # at max_pairs_per_bucket) — one tiny fold over the already-small
+    # dup-bucket table; used to size the downstream distinct-edges
+    # shuffle by DATA VOLUME instead of the corpus-wide partition count
+    cap = cfg.max_pairs_per_bucket
+
+    def _pair_bound(batch: pa.Table) -> pa.Table:
+        c = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = int(np.minimum(c * (c - 1) // 2, cap).sum() + len(c))
+        return pa.table({"b": pa.array([b], type=pa.int64())})
+
+    est_pairs = sum(
+        int(b.column("b")[0].as_py())
+        for b in dup_counts.map_batches(
+            _pair_bound, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
     hot_tbl = dup_counts.map_batches(
         _hot_filter_fn(cfg.hot_bucket_threshold), batch_format="pyarrow"
     ).to_pandas()
@@ -145,7 +165,7 @@ def dup_bucket_index(band_rows, cfg: DedupConfig):
            if "bkt" in hot_tbl.columns and len(hot_tbl)
            else np.empty(0, dtype=np.int64))
     if n_dup == 0:
-        return hot, None, 0, 0
+        return hot, None, 0, 0, 0
     m, k = bloom_params(n_dup)
 
     def finalize_bloom(tbl: pa.Table):
@@ -156,7 +176,7 @@ def dup_bucket_index(band_rows, cfg: DedupConfig):
 
     bloom_ref = assemble_blocks(dup_counts, ["bkt"], finalize_bloom,
                                 empty=None)
-    return hot, bloom_ref, k, n_dup
+    return hot, bloom_ref, k, n_dup, est_pairs
 
 
 def _hot_filter_fn(threshold: int):
@@ -364,9 +384,11 @@ def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None,
         # emit a pair, so dropping singleton band rows map-side removes
         # the bulk of the sort-shuffle input on mostly-unique corpora
         # (output bit-identical — see dup_bucket_index)
-        hot, bloom_ref, bloom_k, n_dup = dup_bucket_index(band_rows, cfg)
+        hot, bloom_ref, bloom_k, n_dup, est_pairs = dup_bucket_index(
+            band_rows, cfg)
         if counters is not None:
             counters["dup_buckets"] = int(n_dup)
+            counters["est_pairs"] = int(est_pairs)
         if bloom_ref is not None:
             band_rows = band_rows.map_batches(
                 make_bloom_prefilter(bloom_ref, bloom_k),
@@ -399,14 +421,26 @@ def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None,
     return edges.union(rep_edges)
 
 
-def distinct_edges(edges_ds, cfg: DedupConfig | None = None):
-    """Drop duplicate (u, v) rows (same pair surfaced by several bands)."""
+def distinct_edges(edges_ds, cfg: DedupConfig | None = None,
+                   n_rows_hint: int | None = None):
+    """Drop duplicate (u, v) rows (same pair surfaced by several bands).
+
+    ``n_rows_hint`` (e.g. the pre-pass pair bound from candidate_edges'
+    ``counters["est_pairs"]``) sizes the shuffle by edge-table volume —
+    16 B/row edge tables are usually orders of magnitude smaller than
+    the corpus that cfg.num_partitions was sized for, and running the
+    distinct sort at corpus width is pure scheduling overhead (measured
+    126 s of the 8M/32-CPU near phase at 512 partitions)."""
+    from sick_ray.stages.components import star_partitions
+
     cfg = cfg or DedupConfig()
+    parts = (star_partitions(n_rows_hint, cfg)
+             if n_rows_hint is not None else cfg.num_partitions)
     return grouped_apply(
         edges_ds,
         ["u", "v"],
         _distinct_pairs_partition,
-        num_partitions=cfg.num_partitions,
+        num_partitions=parts,
         partial=_distinct_pairs_partition,
     )
 
