@@ -457,9 +457,13 @@ def run_full(
             canon_docs = rd.read_parquet(spans_tmp, columns=["url", "text"])
         else:
             canon_docs = canon_docs_sel.materialize()
+        # canonical text volume (cheap aggregate over the materialized
+        # narrow table) sizes the spans sorts by data, not corpus width
+        corpus_bytes = int(canonical.sum("n_bytes") or 0)
         try:
             spans = duplicate_spans(
-                canon_docs, cfg, n_docs_hint=n_canonical
+                canon_docs, cfg, n_docs_hint=n_canonical,
+                corpus_bytes_hint=corpus_bytes,
             ).materialize()
         finally:
             if spans_tmp is not None:

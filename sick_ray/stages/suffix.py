@@ -372,7 +372,8 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
                     n_docs_hint: int | None = None,
                     url_list: list[str] | None = None,
                     include_local: bool = True,
-                    local_pass: str = "scope"):
+                    local_pass: str = "scope",
+                    corpus_bytes_hint: int | None = None):
     """Dataset (url, text, ...) → Dataset (url, start, end) of duplicated
     spans ≥ cfg.min_span bytes. Partition-local suffix arrays + the global
     anchored groupby, merged per doc; spans travel as narrow (uhash,
@@ -416,6 +417,19 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
     cfg = cfg or DedupConfig()
     if local_pass not in ("scope", "colocate"):
         raise ValueError(f"unknown local_pass mode {local_pass!r}")
+    # size the two anchor-row sorts by DATA VOLUME: anchor density is
+    # ~1/span_stride per byte and rows are 24 B, so the sort input is
+    # usually far smaller than the corpus cfg.num_partitions was sized
+    # for — corpus-width partition counts on a few-GB narrow table are
+    # pure scheduling overhead (same finding as components.star_partitions)
+    if corpus_bytes_hint:
+        from sick_ray.stages.components import STAR_PARTITION_BYTES
+
+        est_rows = corpus_bytes_hint // max(cfg.span_stride, 1)
+        sort_parts = int(min(cfg.num_partitions,
+                             max(8, est_rows * 24 // STAR_PARTITION_BYTES + 1)))
+    else:
+        sort_parts = cfg.num_partitions
     docs = docs_ds.select_columns(["url", "text"])
     # the SA consumer needs enough blocks to parallelize its CPU-heavy
     # tasks; only repartition (a full-text shuffle) when the source reads
@@ -471,7 +485,7 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
     # output just makes the barrier explicit and gives every stage the
     # whole cluster.
     seeds = grouped_apply(
-        anchors, ["whash"], make_anchor_survivors(cfg), num_partitions=cfg.num_partitions
+        anchors, ["whash"], make_anchor_survivors(cfg), num_partitions=sort_parts
     ).materialize()
 
     def seed_to_span(batch: pa.Table) -> pa.Table:
@@ -495,7 +509,7 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
     # partition), cutting the shuffled row count by ~an order of magnitude
     merged = grouped_apply(
         all_spans, ["uhash"], _merge_url_spans_partition,
-        num_partitions=cfg.num_partitions, partial=_merge_url_spans_partition,
+        num_partitions=sort_parts, partial=_merge_url_spans_partition,
     )
 
     # re-attach urls to the final (small) span table
