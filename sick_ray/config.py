@@ -52,6 +52,10 @@ class DedupConfig:
     # --- clustering (stage 2c: alternating large-star/small-star rounds
     # over the edges Dataset; Kiveris et al.) ---
     driver_uf_max_edges: int = 2_000_000  # below this, fold edges on driver
+    # middle tier: up to this many edges, one vectorized cluster-side
+    # task labels the whole graph (components.single_task_components);
+    # above it the alternating-star shuffle rounds take over
+    single_task_cc_max_edges: int = 64_000_000
     # --- substring dedup (stage 3) ---
     min_span: int = 256         # bytes; minimal duplicated span to report
     span_stride: int = 24       # content-anchor density (1/stride per byte); miss prob

@@ -250,15 +250,82 @@ def star_components(edges_ds, cfg, n_edges_hint: int | None = None):
     )
 
 
+# middle tier: up to this many edges the whole graph is labeled by ONE
+# vectorized remote task (~16 B/edge + ~3 int64 arrays over unique nodes —
+# ≤ a few GB task heap at the bound). ~20 star-round shuffles on a
+# few-hundred-MB table are pure scheduling overhead (measured: 180 s of
+# the 8M/32-CPU near phase for 283 MB of edges vs seconds in one task);
+# the alternating-star path takes over beyond the bound, where the edge
+# table genuinely exceeds a single worker.
+SINGLE_TASK_CC_MAX_EDGES = 64_000_000
+
+
+def _cc_label_kernel(u: np.ndarray, v: np.ndarray):
+    """Vectorized min-label propagation + pointer jumping to fixpoint.
+
+    Invariant: label[i] is always the index (into the sorted unique node
+    array) of a node in i's component, monotonically non-increasing and
+    bounded by the component-min index — so the fixpoint IS the
+    component min (same cluster-id convention as the star and driver
+    paths). O(E) numpy work per round, O(log n) rounds."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui = inv[: len(u)].astype(np.int64)
+    vi = inv[len(u):].astype(np.int64)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label
+        m = np.minimum(label[ui], label[vi])
+        label = label.copy()
+        np.minimum.at(label, ui, m)
+        np.minimum.at(label, vi, m)
+        label = np.minimum(label, label[label])     # pointer jumping
+        if np.array_equal(label, before):
+            break
+    roots = nodes[label]
+    keep = roots != nodes                           # roots implicit
+    return nodes[keep], roots[keep]
+
+
+def single_task_components(edges_ds):
+    """Label the whole edge graph in one cluster-side Ray task reading the
+    edges Dataset's own block refs (zero driver traffic)."""
+    import ray
+    import ray.data as rd
+
+    @ray.remote(num_cpus=2)
+    def cc_task(*blocks):
+        good = [b for b in blocks if b.num_rows and "u" in b.column_names]
+        if not good:
+            return pa.table({"fp64": pa.array([], type=pa.int64()),
+                             "cluster_id": pa.array([], type=pa.int64())})
+        u = np.concatenate(
+            [b.column("u").to_numpy(zero_copy_only=False) for b in good])
+        v = np.concatenate(
+            [b.column("v").to_numpy(zero_copy_only=False) for b in good])
+        nodes, roots = _cc_label_kernel(u, v)
+        return pa.table({"fp64": pa.array(nodes, type=pa.int64()),
+                         "cluster_id": pa.array(roots, type=pa.int64())})
+
+    return rd.from_arrow_refs([cc_task.remote(*edges_ds.to_arrow_refs())])
+
+
 def connected_components(edges_ds, cfg):
     """Edges Dataset (u, v) → labels Dataset (fp64, cluster_id). Only nodes
     that appear in at least one edge are labeled (roots label themselves —
     emitted explicitly by the driver path, implicitly absent from the star
-    path; downstream treats missing as cluster_id = own fp64)."""
+    path; downstream treats missing as cluster_id = own fp64).
+
+    Three tiers by edge count: driver union-find (tiny), one vectorized
+    remote task (fits a worker heap — SINGLE_TASK_CC_MAX_EDGES), and the
+    alternating-star shuffle rounds (the 10^12-edge scale path)."""
     import ray.data as rd
 
     n_edges = edges_ds.count()
     if n_edges > cfg.driver_uf_max_edges:
+        bound = getattr(cfg, "single_task_cc_max_edges",
+                        SINGLE_TASK_CC_MAX_EDGES)
+        if n_edges <= bound:
+            return single_task_components(edges_ds)
         return star_components(edges_ds, cfg, n_edges_hint=n_edges)
     uf = UnionFind()
     for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):

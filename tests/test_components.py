@@ -44,8 +44,10 @@ def _expected(pairs):
     return {n: find(n) for n in parent if find(n) != n}
 
 
-CFG_STAR = DedupConfig(driver_uf_max_edges=0, num_partitions=8,
-                       minhash_concurrency=1)
+CFG_STAR = DedupConfig(driver_uf_max_edges=0, single_task_cc_max_edges=0,
+                       num_partitions=8, minhash_concurrency=1)
+CFG_TASK = DedupConfig(driver_uf_max_edges=0, num_partitions=8,
+                       minhash_concurrency=1)   # routes to the one-task tier
 CFG_DRIVER = DedupConfig(num_partitions=8, minhash_concurrency=1)
 
 
@@ -102,3 +104,28 @@ def test_pipeline_forced_star_path(ray_session, small_corpus):
     ma = dict(zip(a["url"], a["cluster_id"]))
     mb = dict(zip(b["url"], b["cluster_id"]))
     assert ma == mb
+
+
+def test_single_task_tier_matches_driver_and_star(ray_session):
+    """The middle tier (one vectorized remote task) must agree exactly
+    with both the driver union-find and the star rounds."""
+    rng = np.random.default_rng(11)
+    pairs = []
+    for c in range(60):
+        members = rng.integers(0, 1 << 40, size=rng.integers(2, 9))
+        for m in members[1:]:
+            other = members[rng.integers(0, len(members))]
+            if m != other:
+                pairs.append((int(m), int(other)))
+    pairs += [(i + 1, i) for i in range(300)]        # one long chain
+    task = _labels_map(connected_components(_edges_ds(pairs, blocks=9), CFG_TASK))
+    star = _labels_map(connected_components(_edges_ds(pairs, blocks=4), CFG_STAR))
+    driver = _labels_map(connected_components(_edges_ds(pairs, blocks=2), CFG_DRIVER))
+    assert task == star == driver == _expected(pairs)
+
+
+def test_single_task_tier_edge_cases(ray_session):
+    assert _labels_map(connected_components(_edges_ds([], blocks=1), CFG_TASK)) == {}
+    got = _labels_map(connected_components(
+        _edges_ds([(5, 5), (1, 2), (2, 1), (9, 9)], blocks=2), CFG_TASK))
+    assert got == {2: 1}
