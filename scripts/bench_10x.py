@@ -126,6 +126,7 @@ def child(ncpu: int, n_docs: int, temp_dir: str | None = None) -> None:
         "near_sec": round(full.timings["near_sec"], 1),
         "near_walls": full.timings.get("near_walls", {}),
         "spans_sec": round(full.timings["spans_sec"], 1),
+        "spans_walls": full.timings.get("spans_walls", {}),
         "n_edges": full.dedup.n_edges,
         "n_canonical": full.dedup.n_canonical,
         "n_cluster_rows": full.timings["n_cluster_rows"],

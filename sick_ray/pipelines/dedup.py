@@ -421,6 +421,7 @@ def run_full(
 
     def spans_branch():
         t = _time.time()
+        spans_walls: dict = {}
         if spans_input is not None:
             docs = spans_input
             if isinstance(docs, str):
@@ -448,6 +449,7 @@ def run_full(
             num_partitions=cfg.num_partitions, n_keys_hint=n_canonical,
         )
         spans_tmp = None
+        t_pin = _time.time()
         if n_canonical > SPANS_PIN_PARQUET_DOCS:
             import shutil as _shutil
             import tempfile as _tempfile
@@ -457,18 +459,19 @@ def run_full(
             canon_docs = rd.read_parquet(spans_tmp, columns=["url", "text"])
         else:
             canon_docs = canon_docs_sel.materialize()
+        spans_walls["pin_sec"] = round(_time.time() - t_pin, 2)
         # canonical text volume (cheap aggregate over the materialized
         # narrow table) sizes the spans sorts by data, not corpus width
         corpus_bytes = int(canonical.sum("n_bytes") or 0)
         try:
             spans = duplicate_spans(
                 canon_docs, cfg, n_docs_hint=n_canonical,
-                corpus_bytes_hint=corpus_bytes,
+                corpus_bytes_hint=corpus_bytes, walls=spans_walls,
             ).materialize()
         finally:
             if spans_tmp is not None:
                 _shutil.rmtree(spans_tmp, ignore_errors=True)
-        return spans, spans.count(), _time.time() - t
+        return spans, spans.count(), _time.time() - t, spans_walls
 
     # two driver threads, each driving its own streaming execution; Ray's
     # scheduler multiplexes the branches over the shared CPU pool
@@ -477,7 +480,7 @@ def run_full(
         spans_f = pool.submit(spans_branch)
         (labels, clusters, n_edges, n_cluster_rows, near_sec,
          near_walls) = near_f.result()
-        spans, n_spans, spans_sec = spans_f.result()
+        spans, n_spans, spans_sec, spans_walls = spans_f.result()
 
     fingerprints = fingerprints.map_batches(_to_uint64("fp64"), batch_format="pyarrow")
     dedup = DedupResult(
@@ -501,6 +504,7 @@ def run_full(
             "total_sec": round(_time.time() - t0, 3),
             "n_cluster_rows": n_cluster_rows,
             "near_walls": near_walls,
+            "spans_walls": spans_walls,
         },
     )
 

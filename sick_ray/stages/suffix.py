@@ -373,7 +373,8 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
                     url_list: list[str] | None = None,
                     include_local: bool = True,
                     local_pass: str = "scope",
-                    corpus_bytes_hint: int | None = None):
+                    corpus_bytes_hint: int | None = None,
+                    walls: dict | None = None):
     """Dataset (url, text, ...) → Dataset (url, start, end) of duplicated
     spans ≥ cfg.min_span bytes. Partition-local suffix arrays + the global
     anchored groupby, merged per doc; spans travel as narrow (uhash,
@@ -442,6 +443,10 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
         # row group and joins emit num_partitions blocks, so trust upstream
         # rather than paying a full-text repartition shuffle
         enough = True
+    import time as _time
+
+    walls = walls if walls is not None else {}
+    t = _time.time()
     local = None
     if include_local and local_pass == "colocate":
         finder = make_sa_span_finder(cfg)
@@ -473,6 +478,8 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
             make_sa_span_finder(cfg), batch_format="pyarrow",
             batch_size=SA_BATCH_DOCS
         ).materialize()
+    walls["local_sec"] = round(_time.time() - t, 2)
+    t = _time.time()
     anchors = docs.map_batches(make_anchor_emitter(cfg), batch_format="pyarrow",
                                batch_size=ANCHOR_BATCH_DOCS)
     # STAGED, not fused: a single streaming execution containing BOTH the
@@ -487,6 +494,7 @@ def duplicate_spans(docs_ds, cfg: DedupConfig | None = None,
     seeds = grouped_apply(
         anchors, ["whash"], make_anchor_survivors(cfg), num_partitions=sort_parts
     ).materialize()
+    walls["anchors_sec"] = round(_time.time() - t, 2)
 
     def seed_to_span(batch: pa.Table) -> pa.Table:
         return pa.table(
