@@ -88,6 +88,7 @@ def child(ncpu: int, n_docs: int, temp_dir: str | None = None) -> None:
     cfg = DedupConfig(
         minhash_concurrency=max(2, ncpu // 2),
         num_partitions=N_PARTITIONS,
+        serial_branches=os.environ.get("GRAFT_10X_SERIAL") == "1",
     )
     t0 = time.time()
     full = run_full(web_path, cfg)

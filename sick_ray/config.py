@@ -64,6 +64,10 @@ class DedupConfig:
     # --- execution ---
     batch_size: int = 1024      # docs per batch for minhash actors
     minhash_concurrency: int = 8  # actor pool size for the MinHash stage
+    # run the near and spans branches sequentially instead of overlapped:
+    # peak spill-disk = max(branch) rather than sum — for clusters whose
+    # local spill volume is bounded (wall becomes the branch sum)
+    serial_branches: bool = False
     num_partitions: int = 32    # hash-join / shuffle partition count
 
     def __post_init__(self):

@@ -473,14 +473,21 @@ def run_full(
                 _shutil.rmtree(spans_tmp, ignore_errors=True)
         return spans, spans.count(), _time.time() - t, spans_walls
 
-    # two driver threads, each driving its own streaming execution; Ray's
-    # scheduler multiplexes the branches over the shared CPU pool
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        near_f = pool.submit(near_branch)
-        spans_f = pool.submit(spans_branch)
+    if cfg.serial_branches:
+        # bounded-spill-disk mode: branches run one at a time so the
+        # peak of concurrently-live intermediates is max(branch), not sum
         (labels, clusters, n_edges, n_cluster_rows, near_sec,
-         near_walls) = near_f.result()
-        spans, n_spans, spans_sec, spans_walls = spans_f.result()
+         near_walls) = near_branch()
+        spans, n_spans, spans_sec, spans_walls = spans_branch()
+    else:
+        # two driver threads, each driving its own streaming execution;
+        # Ray's scheduler multiplexes the branches over the shared CPU pool
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            near_f = pool.submit(near_branch)
+            spans_f = pool.submit(spans_branch)
+            (labels, clusters, n_edges, n_cluster_rows, near_sec,
+             near_walls) = near_f.result()
+            spans, n_spans, spans_sec, spans_walls = spans_f.result()
 
     fingerprints = fingerprints.map_batches(_to_uint64("fp64"), batch_format="pyarrow")
     dedup = DedupResult(
