@@ -160,7 +160,6 @@ def _exact_phase(input_ds, cfg, runner, cfg_fp, out_dir):
     if out_dir is None:
         meta = meta.materialize()
 
-    fingerprints = meta.select_columns(["url", "fp64", "n_bytes"])
     n_docs = meta.count()
     # saturation denominators for the later stages (CacheSaturation ratio)
     progress.set_total("attach", n_docs)
@@ -171,7 +170,19 @@ def _exact_phase(input_ds, cfg, runner, cfg_fp, out_dir):
     if out_dir is None:
         canonical = canonical.materialize()
     n_canonical = canonical.count()
-    return meta, fingerprints, canonical, n_docs, n_canonical
+    # the FULL meta (sig 512 B/doc + band_hash 128 B/doc) exists only to
+    # feed exact_dedup; everything downstream (fingerprints output,
+    # cluster attach-back) needs four narrow columns (~100 B/doc). Swap
+    # the standing plasma pin for the narrow projection and release the
+    # wide table — at 16M docs that frees ~12 GB of object store /
+    # spill the moment the exact phase ends (canonical keeps its own
+    # sig copy for LSH + verification).
+    meta_narrow = meta.select_columns(["url", "warc_ts", "fp64", "n_bytes"])
+    if out_dir is None:
+        meta_narrow = meta_narrow.materialize()
+    fingerprints = meta_narrow.select_columns(["url", "fp64", "n_bytes"])
+    del meta
+    return meta_narrow, fingerprints, canonical, n_docs, n_canonical
 
 
 def _near_phase(meta, canonical, n_canonical, cfg, runner, cfg_fp, out_dir,
