@@ -90,8 +90,28 @@ def child(ncpu: int, n_docs: int, temp_dir: str | None = None) -> None:
         num_partitions=N_PARTITIONS,
         serial_branches=os.environ.get("GRAFT_10X_SERIAL") == "1",
     )
+    near_only = os.environ.get("GRAFT_10X_NEAR_ONLY") == "1"
     t0 = time.time()
-    full = run_full(web_path, cfg)
+    if near_only:
+        # dedup phase only (exact + LSH + components + attach): the
+        # regime for spill quotas that cannot hold the overlapped spans
+        # branch's text volume on top — still exercises every edge-path
+        # change (prepass, fused verify, distinct, components tiers)
+        from sick_ray.pipelines.dedup import run_dedup
+
+        class _FullShim:   # reuse the reporting below
+            pass
+
+        dres = run_dedup(web_path, cfg)
+        n_cluster_rows = dres.clusters.count()
+        full = _FullShim()
+        full.dedup = dres
+        full.n_spans = -1
+        full.timings = {"exact_sec": -1, "near_sec": -1,
+                        "n_cluster_rows": n_cluster_rows,
+                        "spans_sec": -1}
+    else:
+        full = run_full(web_path, cfg)
     wall = time.time() - t0
 
     # dup-pair recall vs the planted truth (north-rule >=0.99 at J>=0.9):
@@ -119,6 +139,7 @@ def child(ncpu: int, n_docs: int, temp_dir: str | None = None) -> None:
 
     print(json.dumps({
         "num_cpus": ncpu,
+        "mode": "near_only" if near_only else "full",
         "n_docs": n_docs,
         "num_partitions": N_PARTITIONS,
         "wall_sec": round(wall, 1),
