@@ -386,8 +386,8 @@ def probe_dedup_index(new_docs_ds, index_dir: str, cfg: DedupConfig,
     # exactly one g×g cell)
     from sick_ray.stages.lsh import dup_bucket_index, make_bloom_prefilter
 
-    hot, bloom_ref, bloom_k, _n_dup, _est_pairs = dup_bucket_index(
-        band_rows, cfg)
+    hot, bloom_ref, bloom_k, _n_dup, _est_pairs, _est_rows = (
+        dup_bucket_index(band_rows, cfg))
     if bloom_ref is not None and cfg.dup_bucket_prefilter:
         band_rows = band_rows.map_batches(
             make_bloom_prefilter(bloom_ref, bloom_k), batch_format="pyarrow"

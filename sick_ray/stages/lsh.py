@@ -32,6 +32,7 @@ from sick_ray.stages.minhash import fsl_to_numpy
 
 from sick_ray.config import DedupConfig
 from sick_ray.functions.sketch import bloom_build, bloom_contains, bloom_params
+from sick_ray.stages.components import star_partitions
 from sick_ray.shuffle import (
     U64,
     collect_counter_rows,
@@ -131,11 +132,14 @@ def dup_bucket_index(band_rows, cfg: DedupConfig):
     ``bloom_ref`` is None when there are no dup buckets."""
     from sick_ray.shuffle import assemble_blocks
 
+    # band rows are 16 B — size the count shuffle by THEIR volume, not
+    # the corpus partition count (same finding as star_partitions)
+    count_parts = star_partitions(band_rows.count(), cfg)
     dup_counts = grouped_apply(
         band_rows,
         ["bkt"],
         make_count_reducer(1),                 # keep count >= 2
-        num_partitions=cfg.num_partitions,
+        num_partitions=count_parts,
         partial=_partial_counts,
     ).materialize()
     n_dup = dup_counts.count()
@@ -149,14 +153,16 @@ def dup_bucket_index(band_rows, cfg: DedupConfig):
     def _pair_bound(batch: pa.Table) -> pa.Table:
         c = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
         b = int(np.minimum(c * (c - 1) // 2, cap).sum() + len(c))
-        return pa.table({"b": pa.array([b], type=pa.int64())})
+        return pa.table({"b": pa.array([b], type=pa.int64()),
+                         "rows": pa.array([int(c.sum())], type=pa.int64())})
 
-    est_pairs = sum(
-        int(b.column("b")[0].as_py())
-        for b in dup_counts.map_batches(
-            _pair_bound, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_size=None, batch_format="pyarrow")
-    )
+    est_pairs = 0
+    est_dup_rows = 0                 # band rows surviving the Bloom filter
+    for b in dup_counts.map_batches(
+        _pair_bound, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        est_pairs += int(b.column("b")[0].as_py())
+        est_dup_rows += int(b.column("rows")[0].as_py())
 
     hot_tbl = dup_counts.map_batches(
         _hot_filter_fn(cfg.hot_bucket_threshold), batch_format="pyarrow"
@@ -165,7 +171,7 @@ def dup_bucket_index(band_rows, cfg: DedupConfig):
            if "bkt" in hot_tbl.columns and len(hot_tbl)
            else np.empty(0, dtype=np.int64))
     if n_dup == 0:
-        return hot, None, 0, 0, 0
+        return hot, None, 0, 0, 0, 0
     m, k = bloom_params(n_dup)
 
     def finalize_bloom(tbl: pa.Table):
@@ -176,7 +182,7 @@ def dup_bucket_index(band_rows, cfg: DedupConfig):
 
     bloom_ref = assemble_blocks(dup_counts, ["bkt"], finalize_bloom,
                                 empty=None)
-    return hot, bloom_ref, k, n_dup, est_pairs
+    return hot, bloom_ref, k, n_dup, est_pairs, est_dup_rows
 
 
 def _hot_filter_fn(threshold: int):
@@ -384,8 +390,8 @@ def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None,
         # emit a pair, so dropping singleton band rows map-side removes
         # the bulk of the sort-shuffle input on mostly-unique corpora
         # (output bit-identical — see dup_bucket_index)
-        hot, bloom_ref, bloom_k, n_dup, est_pairs = dup_bucket_index(
-            band_rows, cfg)
+        hot, bloom_ref, bloom_k, n_dup, est_pairs, est_dup_rows = (
+            dup_bucket_index(band_rows, cfg))
         if counters is not None:
             counters["dup_buckets"] = int(n_dup)
             counters["est_pairs"] = int(est_pairs)
@@ -401,10 +407,15 @@ def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None,
     walls["prepass_sec"] = round(_time.time() - t, 2)
     t = _time.time()
     salted = band_rows.map_batches(make_salter(hot, cfg.salt_fanout), batch_format="pyarrow")
+    # post-Bloom the pairs shuffle input is only the dup-bucket band rows
+    # (~32 B/row salted) — size it by that volume; without the prefilter
+    # fall back to the corpus partition count
+    pair_parts = (star_partitions(est_dup_rows * 2, cfg)
+                  if cfg.dup_bucket_prefilter else cfg.num_partitions)
     raw = grouped_apply(
         salted, ["sbkt"],
         make_pair_emitter(cfg, verify_ref, verify_threshold),
-        num_partitions=cfg.num_partitions,
+        num_partitions=pair_parts,
     ).materialize()
     walls["pairs_sec"] = round(_time.time() - t, 2)
     raw = collect_counter_rows(raw, counters, "truncated_pairs", "truncated_buckets")
@@ -412,8 +423,11 @@ def candidate_edges(sig_ds, cfg: DedupConfig, counters: dict | None = None,
         counters["hot_buckets"] = int(len(hot))
     edges = raw.map_batches(kind_filter(0), batch_format="pyarrow").select_columns(["u", "v"])
     reps = raw.map_batches(kind_filter(1), batch_format="pyarrow")
+    # reps are bounded by hot_buckets x salt_fanout — a tiny table; a
+    # corpus-width shuffle on it is pure overhead
+    rep_parts = star_partitions(len(hot) * cfg.salt_fanout, cfg)
     rep_edges = grouped_apply(
-        reps, ["bkt"], _link_reps_partition, num_partitions=cfg.num_partitions
+        reps, ["bkt"], _link_reps_partition, num_partitions=rep_parts
     )
     if verify_ref is not None:
         rep_edges = verify_edges_broadcast(rep_edges, verify_ref,
