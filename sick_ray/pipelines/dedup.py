@@ -462,10 +462,32 @@ def run_full(
         spans_tmp = None
         t_pin = _time.time()
         if n_canonical > SPANS_PIN_PARQUET_DOCS:
+            import os as _os
             import shutil as _shutil
             import tempfile as _tempfile
 
-            spans_tmp = _tempfile.mkdtemp(prefix="sick_ray_spanscorpus_")
+            # reap pins orphaned by crashed/killed runs (the finally
+            # below cannot run under SIGKILL) — they silently eat the
+            # spill-disk quota. Dir names embed the owning pid; a pin
+            # whose owner is gone is garbage.
+            tmp_root = _tempfile.gettempdir()
+            for d in _os.listdir(tmp_root):
+                if d.startswith("sick_ray_spanscorpus_"):
+                    try:
+                        pid = int(d.split("_")[3])
+                        _os.kill(pid, 0)            # raises if dead
+                    except (IndexError, ValueError, ProcessLookupError):
+                        _shutil.rmtree(_os.path.join(tmp_root, d),
+                                       ignore_errors=True)
+                    except PermissionError:
+                        pass                        # alive, other user
+            spans_tmp = _tempfile.mkdtemp(
+                prefix=f"sick_ray_spanscorpus_{_os.getpid()}_")
+            # zstd, not snappy: snappy's faster encode was measured a net
+            # LOSS here — its ~2x larger pin file raised peak disk enough
+            # to break the spill quota at the 10x regime (OutOfDisk),
+            # while zstd's 54 s encode cost is fully overlapped by the
+            # near branch. Ratio beats speed for a corpus-sized pin.
             canon_docs_sel.write_parquet(spans_tmp, compression="zstd")
             canon_docs = rd.read_parquet(spans_tmp, columns=["url", "text"])
         else:
